@@ -1,0 +1,233 @@
+"""Explicit dataclass configuration.
+
+Replaces the reference's import-time yacs singleton (reference
+lib/config/config.py:6-159) with immutable dataclasses passed through call
+graphs.  Precedence: CLI dotted overrides > YAML file > dataclass defaults,
+matching the reference's merge order (reference lib/config/config.py:141-147)
+without the global mutable state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Mapping, Sequence
+
+import yaml
+
+
+def _replace_nested(obj: Any, path: Sequence[str], value: Any) -> Any:
+    """Immutably set a dotted field path on nested dataclasses."""
+    if not path:
+        return value
+    head, rest = path[0], path[1:]
+    if not hasattr(obj, head):
+        raise KeyError(f"unknown config key {head!r} on {type(obj).__name__}")
+    cur = getattr(obj, head)
+    new = _replace_nested(cur, rest, value)
+    if rest == () and cur is not None and not isinstance(cur, (dict, list)):
+        want = type(cur)
+        if isinstance(cur, bool):
+            new = bool(new)
+        elif isinstance(cur, float) and not isinstance(new, float):
+            new = float(new)
+        elif isinstance(cur, int) and isinstance(new, float) and new == int(new):
+            new = int(new)
+        elif isinstance(cur, tuple) and isinstance(new, list):
+            new = tuple(new)
+        elif not isinstance(new, want) and want not in (type(None),):
+            try:
+                new = want(new)
+            except Exception:
+                pass
+    return dataclasses.replace(obj, **{head: new})
+
+
+@dataclass(frozen=True)
+class NetworkConfig:
+    """Architecture of the pose network (ref lib/config/config.py:14-21,108-112)."""
+
+    name: str = "res18"           # res18 | dla34 | hourglass
+    task: str = "pvnet"           # pvnet | ct | ct_pvnet
+    seg_dim: int = 2
+    num_keypoints: int = 9        # 8 FPS points + center
+    fc_dim: int = 256
+    s8_dim: int = 128
+    s4_dim: int = 64
+    s2_dim: int = 32
+    raw_dim: int = 32
+    # CenterNet detector heads (ref lib/config/config.py:111)
+    ct_num_classes: int = 30
+    ct_head_conv: int = 256
+    use_bfloat16: bool = True     # bf16 activations/compute, fp32 params
+    bn_momentum: float = 0.9
+    sync_bn: bool = False         # cross-replica batch-norm stats
+
+    @property
+    def vote_dim(self) -> int:
+        return 2 * self.num_keypoints
+
+
+@dataclass(frozen=True)
+class VotingConfig:
+    """RANSAC voting decode (ref lib/csrc/ransac_voting/ransac_voting_gpu.py:112-274).
+
+    All sizes are static so the decode jits to a single fixed-shape program.
+    """
+
+    num_hypotheses: int = 128     # per round (ref round_hyp_num)
+    num_rounds: int = 1           # static bound on adaptive rounds (ref max_iter=20)
+    inlier_thresh: float = 0.99   # cos-angle threshold
+    confidence: float = 0.99      # early-exit confidence (masks later rounds)
+    max_pixels: int = 128         # fixed pixel budget (ref max_num=100, dynamic)
+    min_pixels: int = 5           # below this the vote is skipped (ref min_num)
+    # uncertainty path (ref decode_keypoint resnet18.py:65-76)
+    un_hypotheses: int = 512
+    un_max_pixels: int = 8192     # ref max_num=30000 (dynamic); static budget here
+    cov_hypotheses: int = 4096    # ref min_hyp_num
+    cov_inlier_thresh: float = 0.99
+
+
+@dataclass(frozen=True)
+class PnPConfig:
+    """On-device PnP solver replacing OpenCV iterative / Ceres LM
+    (ref lib/utils/pvnet/pvnet_pose_utils.py:5-38,
+     ref lib/csrc/uncertainty_pnp/src/uncertainty_pnp.cpp:61-92)."""
+
+    lm_iters: int = 30
+    lm_lambda_init: float = 1e-3
+    lm_lambda_up: float = 10.0
+    lm_lambda_down: float = 0.1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training recipe (ref configs/linemod.yaml, lib/config/config.py:37-74)."""
+
+    dataset: str = "LinemodTrain"
+    epochs: int = 240
+    batch_size: int = 32
+    optimizer: str = "adam"       # adam | radam | sgd
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    milestones: tuple = (20, 40, 60, 80, 100, 120, 140, 160, 180, 200, 220)
+    gamma: float = 0.5
+    warmup: bool = False
+    warmup_epochs: int = 5
+    warmup_factor: float = 1.0 / 3.0
+    grad_clip_value: float = 40.0  # ref trainer.py clip_grad_value_(40)
+    save_every_epochs: int = 5
+    eval_every_epochs: int = 5
+    num_workers: int = 2
+    seed: int = 0
+    resume: bool = True
+    # augmentation (ref lib/config/config.py:60-74)
+    rotate_min: float = -30.0
+    rotate_max: float = 30.0
+    overlap_ratio: float = 0.8
+    resize_ratio_min: float = 0.8
+    resize_ratio_max: float = 1.2
+    # static train shapes: multiscale buckets replacing ImageSizeBatchSampler
+    # (ref lib/datasets/samplers.py:9-43); each (h, w) compiles once.
+    image_buckets: tuple = ((256, 344), (384, 512), (480, 640))
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    """Evaluation settings (ref lib/config/config.py:76-92)."""
+
+    dataset: str = "LinemodTest"
+    batch_size: int = 1
+    epoch: int = -1
+    un_pnp: bool = False
+    icp: bool = False
+    det_gt: bool = False
+    vsd_tau: float = 20.0
+    vsd_delta: float = 15.0
+    vsd_thresh: float = 0.3
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh / SPMD layout (replaces nn.DataParallel, ref trainer.py:9-12)."""
+
+    data_axis: str = "data"
+    num_devices: int = -1         # -1: all visible devices
+    # hypothesis-sharding axis for the distributed voting path
+    hyp_axis: str = "hyp"
+    hyp_shards: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    task: str = "pvnet"
+    model: str = "pvnet_linemod"  # experiment name → model_dir/<model>
+    cls_type: str = "cat"
+    model_dir: str = "data/model"
+    record_dir: str = "data/record"
+    result_dir: str = "data/result"
+    data_root: str = "data"
+    network: NetworkConfig = field(default_factory=NetworkConfig)
+    voting: VotingConfig = field(default_factory=VotingConfig)
+    pnp: PnPConfig = field(default_factory=PnPConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **updates: Any) -> "Config":
+        return dataclasses.replace(self, **updates)
+
+    def with_overrides(self, overrides: Mapping[str, Any]) -> "Config":
+        cfg = self
+        for key, value in overrides.items():
+            cfg = _replace_nested(cfg, key.split("."), value)
+        return cfg
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def dumps(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=str)
+
+
+def _flatten(prefix: str, node: Any) -> dict:
+    out = {}
+    if isinstance(node, Mapping):
+        for k, v in node.items():
+            out.update(_flatten(f"{prefix}{k}.", v))
+    else:
+        out[prefix[:-1]] = node
+    return out
+
+
+def load_config(
+    yaml_path: str | Path | None = None,
+    overrides: Sequence[str] | Mapping[str, Any] | None = None,
+) -> Config:
+    """Build a Config: defaults ← YAML file ← dotted overrides.
+
+    `overrides` accepts a mapping {"train.lr": 3e-4} or a flat CLI-style list
+    ["train.lr", "3e-4", ...] mirroring the reference's `opts` pairs
+    (ref lib/config/config.py:141-147).
+    """
+    cfg = Config()
+    if yaml_path is not None:
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+        cfg = cfg.with_overrides(_flatten("", data))
+    if overrides:
+        if not isinstance(overrides, Mapping):
+            if len(overrides) % 2 != 0:
+                raise ValueError("override list must be key value pairs")
+            pairs = {}
+            for k, v in zip(overrides[::2], overrides[1::2]):
+                try:
+                    v = yaml.safe_load(v)
+                except Exception:
+                    pass
+                pairs[k] = v
+            overrides = pairs
+        cfg = cfg.with_overrides(overrides)
+    return cfg

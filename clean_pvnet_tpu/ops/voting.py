@@ -1,0 +1,293 @@
+"""Fixed-shape RANSAC keypoint voting, fully on-device.
+
+TPU-native re-design of the reference CUDA voting stack
+(ref lib/csrc/ransac_voting/src/ransac_voting_kernel.cu:11-126 kernels and
+ref lib/csrc/ransac_voting/ransac_voting_gpu.py:112-274 host drivers).
+
+Key departures from the reference, imposed by XLA (see SURVEY.md §7):
+  * `torch.nonzero`/`masked_select` (dynamic pixel count) → uniform
+    sampling-without-replacement of a *static* pixel budget via randomized
+    top-k (`select_foreground`), with validity masks.
+  * the data-dependent adaptive RANSAC round loop
+    (ransac_voting_gpu.py:150-174) → a static number of rounds; the
+    confidence early-exit becomes unnecessary because rounds are compiled,
+    not dispatched.
+  * the per-image Python loop over the batch → `jax.vmap`.
+  * the [hn, vn, tn] inlier tensor (up to 512·9·30000 elements,
+    ransac_voting_gpu.py:155) is never materialized for large budgets:
+    inlier counts are reduced per hypothesis-chunk inside a `lax.scan`
+    (`_count_inliers_chunked`), and a Pallas kernel covers the hot shape
+    (see ops/voting_pallas.py).
+
+Math parity with the CUDA kernels:
+  * hypothesis = intersection of two pixel rays via their normals
+    n = (d.y, -d.x)          (ref ransac_voting_kernel.cu:31-47)
+  * inlier     = cos angle between d and (hyp - pixel) > inlier_thresh
+                                           (ref ransac_voting_kernel.cu:105-125)
+  * refit      = weighted least-squares ray intersection over winner inliers,
+    solving the per-keypoint 2×2 normal equations
+                                           (ref ransac_voting_gpu.py:177-198)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class VoteResult(NamedTuple):
+    kpt_2d: jax.Array        # [vn, 2]  refined keypoint locations (pixels)
+    inlier_ratio: jax.Array  # [vn]     winning hypothesis inlier ratio
+    valid: jax.Array         # []       bool: enough foreground pixels voted
+    mean: jax.Array          # [vn, 2]  winner refit mean (same as kpt_2d)
+
+
+def select_foreground(
+    mask: jax.Array, key: jax.Array, max_pixels: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Sample up to `max_pixels` foreground pixels uniformly w/o replacement.
+
+    Replaces the reference's dynamic nonzero + Bernoulli downsample
+    (ref ransac_voting_gpu.py:128-143) with a static-shape randomized top-k.
+
+    mask [H, W] -> (coords [T, 2] float (x, y), flat_idx [T] int32, valid [T]).
+    Valid entries are contiguous at the front (top-k sorts descending).
+    """
+    h, w = mask.shape
+    fg = mask > 0
+    pri = jax.random.uniform(key, (h, w), minval=1e-6, maxval=1.0)
+    pri = jnp.where(fg, pri, -1.0)
+    vals, idx = jax.lax.top_k(pri.reshape(-1), max_pixels)
+    valid = vals > 0.0
+    xs = (idx % w).astype(jnp.float32)
+    ys = (idx // w).astype(jnp.float32)
+    coords = jnp.stack([xs, ys], -1)
+    return coords, idx.astype(jnp.int32), valid
+
+
+def generate_hypotheses(
+    direct: jax.Array, coords: jax.Array, idx_pairs: jax.Array
+) -> jax.Array:
+    """Intersect pairs of pixel rays. (ref ransac_voting_kernel.cu:11-49)
+
+    direct [T, vn, 2], coords [T, 2], idx_pairs [hn, vn, 2] int -> [hn, vn, 2].
+    Near-parallel pairs produce (0, 0), matching the CUDA kernel's behavior of
+    leaving the zero-initialized output untouched.
+    """
+    vn = idx_pairs.shape[1]
+    varange = jnp.arange(vn)
+    d0 = direct[idx_pairs[..., 0], varange[None, :], :]  # [hn, vn, 2]
+    d1 = direct[idx_pairs[..., 1], varange[None, :], :]
+    c0 = coords[idx_pairs[..., 0]]  # [hn, vn, 2]
+    c1 = coords[idx_pairs[..., 1]]
+
+    nx0, ny0 = d0[..., 1], -d0[..., 0]
+    nx1, ny1 = d1[..., 1], -d1[..., 0]
+    cx0, cy0 = c0[..., 0], c0[..., 1]
+    cx1, cy1 = c1[..., 0], c1[..., 1]
+
+    denom = nx1 * ny0 - nx0 * ny1
+    ok = jnp.abs(denom) >= 1e-6
+    safe = jnp.where(ok, denom, 1.0)
+    b0 = nx0 * cx0 + ny0 * cy0
+    b1 = nx1 * cx1 + ny1 * cy1
+    y = (nx1 * b0 - nx0 * b1) / safe
+    x = -(ny1 * b0 - ny0 * b1) / safe
+    hyp = jnp.stack([x, y], -1)
+    return jnp.where(ok[..., None], hyp, 0.0)
+
+
+def _inlier_mask(hyp, direct, coords, valid, inlier_thresh):
+    """Dense inlier test. hyp [hn, vn, 2] -> bool [hn, vn, T].
+
+    (ref ransac_voting_kernel.cu:88-126; not-inlier when either norm < 1e-6.)
+    """
+    delta = hyp[:, :, None, :] - coords[None, None, :, :]  # [hn, vn, T, 2]
+    num = jnp.sum(delta * jnp.swapaxes(direct, 0, 1)[None], -1)  # [hn, vn, T]
+    n1 = jnp.linalg.norm(direct, axis=-1)  # [T, vn]
+    n2 = jnp.linalg.norm(delta, axis=-1)  # [hn, vn, T]
+    ok = (n1.T[None] >= 1e-6) & (n2 >= 1e-6) & valid[None, None, :]
+    cos = num / jnp.where(ok, n1.T[None] * n2, 1.0)
+    return ok & (cos > inlier_thresh)
+
+
+def _count_inliers_chunked(hyp, direct, coords, valid, inlier_thresh, chunk):
+    """Inlier counts without materializing [hn, vn, T]: scan over hyp chunks.
+
+    The inner test is phrased so the pixel axis reduces immediately
+    (the SURVEY.md §5.7 'long axis'); peak memory is [chunk, vn, T].
+    Returns counts [hn, vn] int32.
+    """
+    hn = hyp.shape[0]
+    assert hn % chunk == 0, (hn, chunk)
+    hyp_chunks = hyp.reshape(hn // chunk, chunk, *hyp.shape[1:])
+
+    def body(carry, hyp_c):
+        inl = _inlier_mask(hyp_c, direct, coords, valid, inlier_thresh)
+        return carry, jnp.sum(inl, -1, dtype=jnp.int32)
+
+    _, counts = jax.lax.scan(body, None, hyp_chunks)
+    return counts.reshape(hn, -1)
+
+
+def _refit(win_pts, direct, coords, valid, inlier_thresh):
+    """Weighted LS ray-intersection refit on the winners' inliers.
+
+    (ref ransac_voting_gpu.py:177-198). win_pts [vn, 2] -> ([vn, 2], [vn]).
+    """
+    inl = _inlier_mask(win_pts[None], direct, coords, valid, inlier_thresh)[0]
+    w = inl.astype(jnp.float32)  # [vn, T]
+    normal = jnp.stack(
+        [jnp.swapaxes(direct[..., 1], 0, 1), -jnp.swapaxes(direct[..., 0], 0, 1)], -1
+    )  # [vn, T, 2]
+    normal = normal * w[..., None]
+    b = jnp.sum(normal * coords[None], -1)  # [vn, T]
+    ATA = jnp.einsum("vti,vtj->vij", normal, normal)  # [vn, 2, 2]
+    ATb = jnp.sum(normal * b[..., None], 1)  # [vn, 2]
+    det = ATA[:, 0, 0] * ATA[:, 1, 1] - ATA[:, 0, 1] * ATA[:, 1, 0]
+    ok = jnp.abs(det) > 1e-9
+    safe_det = jnp.where(ok, det, 1.0)
+    inv = (
+        jnp.stack(
+            [
+                jnp.stack([ATA[:, 1, 1], -ATA[:, 0, 1]], -1),
+                jnp.stack([-ATA[:, 1, 0], ATA[:, 0, 0]], -1),
+            ],
+            -2,
+        )
+        / safe_det[:, None, None]
+    )
+    refined = jnp.einsum("vij,vj->vi", inv, ATb)
+    refined = jnp.where(ok[:, None], refined, win_pts)
+    ratio = jnp.sum(w, -1) / jnp.maximum(jnp.sum(valid), 1)
+    return refined, ratio
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_hypotheses",
+        "num_rounds",
+        "max_pixels",
+        "min_pixels",
+        "hyp_chunk",
+    ),
+)
+def ransac_vote(
+    mask: jax.Array,
+    vertex: jax.Array,
+    key: jax.Array,
+    num_hypotheses: int = 128,
+    num_rounds: int = 1,
+    inlier_thresh: float = 0.99,
+    max_pixels: int = 128,
+    min_pixels: int = 5,
+    hyp_chunk: int = 0,
+) -> VoteResult:
+    """Single-image RANSAC voting decode. Use jax.vmap for batches.
+
+    mask [H, W], vertex [H, W, vn, 2] -> VoteResult with kpt_2d [vn, 2].
+
+    Behavioral counterpart of ransac_voting_layer_v3
+    (ref ransac_voting_gpu.py:112-199): per round generate `num_hypotheses`
+    2-ray intersections per keypoint, count angular inliers over the sampled
+    pixels, keep the per-keypoint winner across rounds, then refit on the
+    winner's inliers. Images with < min_pixels foreground return zeros
+    (ref :128-132).
+    """
+    vn = vertex.shape[2]
+    k_sel, k_hyp = jax.random.split(key)
+    coords, flat_idx, valid = select_foreground(mask, k_sel, max_pixels)
+    tv = jnp.sum(valid)
+    enough = tv >= min_pixels
+
+    direct = vertex.reshape(-1, vn, 2)[flat_idx]  # [T, vn, 2]
+    direct = direct * valid[:, None, None]
+
+    def one_round(key_r):
+        # sample among the first tv entries (valid pixels are front-packed)
+        u = jax.random.uniform(key_r, (num_hypotheses, vn, 2))
+        idx_pairs = jnp.floor(u * jnp.maximum(tv, 1)).astype(jnp.int32)
+        idx_pairs = jnp.clip(idx_pairs, 0, max_pixels - 1)
+        hyp = generate_hypotheses(direct, coords, idx_pairs)
+        if hyp_chunk and num_hypotheses > hyp_chunk:
+            counts = _count_inliers_chunked(
+                hyp, direct, coords, valid, inlier_thresh, hyp_chunk
+            )
+        else:
+            counts = jnp.sum(
+                _inlier_mask(hyp, direct, coords, valid, inlier_thresh),
+                -1,
+                dtype=jnp.int32,
+            )
+        win_idx = jnp.argmax(counts, 0)  # [vn]
+        win_counts = jnp.take_along_axis(counts, win_idx[None], 0)[0]
+        win_pts = hyp[win_idx, jnp.arange(vn)]
+        return win_pts, win_counts.astype(jnp.float32) / jnp.maximum(tv, 1)
+
+    keys = jax.random.split(k_hyp, num_rounds)
+    pts, ratios = jax.vmap(one_round)(keys)  # [R, vn, 2], [R, vn]
+    best = jnp.argmax(ratios, 0)  # [vn]
+    win_pts = pts[best, jnp.arange(vn)]
+
+    refined, ratio = _refit(win_pts, direct, coords, valid, inlier_thresh)
+    refined = jnp.where(enough, refined, 0.0)
+    ratio = jnp.where(enough, ratio, 0.0)
+    return VoteResult(kpt_2d=refined, inlier_ratio=ratio, valid=enough, mean=refined)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_hypotheses", "max_pixels", "min_pixels", "hyp_chunk"),
+)
+def estimate_voting_distribution(
+    mask: jax.Array,
+    vertex: jax.Array,
+    mean: jax.Array,
+    key: jax.Array,
+    num_hypotheses: int = 4096,
+    inlier_thresh: float = 0.99,
+    max_pixels: int = 8192,
+    min_pixels: int = 5,
+    hyp_chunk: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-keypoint voting covariance around a given mean.
+
+    Counterpart of estimate_voting_distribution_with_mean
+    (ref ransac_voting_gpu.py:202-274): generate a large hypothesis
+    population, weight each by its inlier ratio, keep ratios within 0.1 of
+    the per-keypoint max, and compute the weighted covariance around `mean`.
+
+    mask [H, W], vertex [H, W, vn, 2], mean [vn, 2] -> (mean, cov [vn, 2, 2]).
+    """
+    vn = vertex.shape[2]
+    k_sel, k_hyp = jax.random.split(key)
+    coords, flat_idx, valid = select_foreground(mask, k_sel, max_pixels)
+    tv = jnp.sum(valid)
+    enough = tv >= min_pixels
+
+    direct = vertex.reshape(-1, vn, 2)[flat_idx]
+    direct = direct * valid[:, None, None]
+
+    u = jax.random.uniform(k_hyp, (num_hypotheses, vn, 2))
+    idx_pairs = jnp.clip(
+        jnp.floor(u * jnp.maximum(tv, 1)).astype(jnp.int32), 0, max_pixels - 1
+    )
+    hyp = generate_hypotheses(direct, coords, idx_pairs)  # [hn, vn, 2]
+    counts = _count_inliers_chunked(
+        hyp, direct, coords, valid, inlier_thresh, hyp_chunk
+    )
+    ratio = counts.astype(jnp.float32) / jnp.maximum(tv, 1)  # [hn, vn]
+
+    ratio_v = ratio.T  # [vn, hn]
+    hyp_v = jnp.swapaxes(hyp, 0, 1)  # [vn, hn, 2]
+    thresh = jnp.max(ratio_v, -1, keepdims=True) - 0.1
+    w = jnp.where(ratio_v < thresh, 0.0, ratio_v)  # [vn, hn]
+    diff = hyp_v - mean[:, None, :]  # [vn, hn, 2]
+    cov = jnp.einsum("vhi,vhj->vij", diff * w[..., None], diff)
+    cov = cov / (jnp.sum(w, -1)[:, None, None] + 1e-3)
+    cov = jnp.where(enough, cov, jnp.eye(2)[None] * 0.0)
+    return mean, cov
