@@ -1,0 +1,237 @@
+"""Synthetic LINEMOD-style dataset generator.
+
+The reference assumes the LINEMOD archives are downloaded
+(ref README.md:84-124); this environment has no dataset, so this module
+renders one: an irregular convex mesh with vertex colors, posed randomly
+over textured backgrounds, annotated in the exact COCO-style schema that
+the reference's converter emits (fps_2d/fps_3d/center_2d/center_3d/K/pose/
+mask_path/type/cls, ref lib/datasets/linemod/linemod_to_coco.py:260-308).
+Everything downstream (dataset class, trainer, evaluator) is therefore
+exercised end-to-end with real geometry, and swapping in actual LINEMOD
+data is just pointing at different json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+from clean_pvnet_tpu.geometry.fps import farthest_point_sampling_np
+from clean_pvnet_tpu.ops.rasterize import render_mesh_np
+from clean_pvnet_tpu.utils.ply import save_ply
+
+LINEMOD_K = np.array(
+    [[572.4114, 0.0, 325.2611], [0.0, 573.57043, 242.04899], [0.0, 0.0, 1.0]],
+    np.float64,
+)
+
+
+def icosphere(subdiv: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=-1, keepdims=True)
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.int64,
+    )
+    for _ in range(subdiv):
+        cache: dict[tuple[int, int], int] = {}
+        vlist = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in cache:
+                m = (vlist[a] + vlist[b]) / 2.0
+                m /= np.linalg.norm(m)
+                cache[key] = len(vlist)
+                vlist.append(m)
+            return cache[key]
+
+        new_faces = []
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.asarray(vlist)
+        faces = np.asarray(new_faces, np.int64)
+    return verts, faces
+
+
+def make_synthetic_mesh(seed: int = 0, radius: float = 0.06):
+    """Irregular star-convex mesh ≈ LINEMOD 'cat'-scale (diameter ~15 cm)."""
+    rng = np.random.RandomState(seed)
+    verts, faces = icosphere(2)
+    # smooth radial perturbation from a few random spherical harmonics-ish lobes
+    dirs = rng.randn(6, 3)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    amp = rng.uniform(0.1, 0.35, 6)
+    r = np.ones(len(verts))
+    for d, a in zip(dirs, amp):
+        r += a * np.maximum(verts @ d, 0.0) ** 2
+    verts = verts * (r[:, None] * radius)
+    colors = 0.25 + 0.75 * np.abs(
+        np.stack(
+            [np.sin(verts @ rng.randn(3) * 40),
+             np.cos(verts @ rng.randn(3) * 40),
+             np.sin(verts @ rng.randn(3) * 40 + 1.0)],
+            -1,
+        )
+    )
+    return verts, faces, colors
+
+
+def random_rotation(rng) -> np.ndarray:
+    q = rng.randn(4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _background(rng, h, w):
+    """Cheap textured background: low-freq gradients + noise."""
+    yy, xx = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij")
+    base = np.stack(
+        [
+            0.3 + 0.4 * np.sin(xx * rng.uniform(2, 8) + rng.rand() * 6),
+            0.3 + 0.4 * np.cos(yy * rng.uniform(2, 8) + rng.rand() * 6),
+            0.3 + 0.4 * np.sin((xx + yy) * rng.uniform(2, 6)),
+        ],
+        -1,
+    )
+    noise = rng.rand(h // 4, w // 4, 3)
+    noise = np.kron(noise, np.ones((4, 4, 1)))[:h, :w]
+    return np.clip(0.7 * base + 0.3 * noise, 0, 1)
+
+
+def generate_synthetic_dataset(
+    root: str,
+    cls: str = "synth",
+    n_train: int = 64,
+    n_test: int = 16,
+    hw: tuple[int, int] = (480, 640),
+    seed: int = 0,
+    n_keypoints: int = 8,
+    depth: bool = False,
+) -> dict:
+    """Write images/masks/ply/jsons under `root`; returns summary paths."""
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    verts, faces, colors = make_synthetic_mesh(seed)
+    cls_dir = os.path.join(root, cls)
+    os.makedirs(os.path.join(cls_dir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(cls_dir, "mask"), exist_ok=True)
+    if depth:
+        os.makedirs(os.path.join(cls_dir, "depth"), exist_ok=True)
+    save_ply(os.path.join(cls_dir, f"{cls}.ply"), verts, faces,
+             (colors * 255).astype(np.uint8))
+
+    d2 = ((verts[:, None] - verts[None]) ** 2).sum(-1)
+    diameter = float(np.sqrt(d2.max()))
+    with open(os.path.join(cls_dir, "diameter.txt"), "w") as f:
+        f.write(str(diameter))
+
+    fps_3d = farthest_point_sampling_np(verts, n_keypoints, init_center=True)
+    center_3d = (verts.max(0) + verts.min(0)) / 2.0
+    corner_3d = np.array(
+        [
+            [x, y, z]
+            for x in (verts[:, 0].min(), verts[:, 0].max())
+            for y in (verts[:, 1].min(), verts[:, 1].max())
+            for z in (verts[:, 2].min(), verts[:, 2].max())
+        ]
+    )
+
+    def render_split(split, n, id_base):
+        images, annotations = [], []
+        for i in range(n):
+            img_id = id_base + i
+            R = random_rotation(rng)
+            z = rng.uniform(0.45, 0.85)
+            # keep the object roughly in frustum
+            x = rng.uniform(-0.12, 0.12) * z
+            y = rng.uniform(-0.09, 0.09) * z
+            rt = np.concatenate([R, np.array([[x], [y], [z]])], -1)
+            color, dep, mask = render_mesh_np(verts, faces, LINEMOD_K, rt, hw, colors)
+            bg = _background(rng, h, w)
+            frame = np.where(mask[..., None] > 0, color, bg)
+            # mild lighting variation + sensor noise
+            frame = np.clip(frame * rng.uniform(0.85, 1.15) + rng.randn(h, w, 3) * 0.01, 0, 1)
+
+            img_path = os.path.join(cls_dir, "rgb", f"{split}_{i:05d}.png")
+            mask_path = os.path.join(cls_dir, "mask", f"{split}_{i:05d}.png")
+            Image.fromarray((frame * 255).astype(np.uint8)).save(img_path)
+            Image.fromarray((mask * 255).astype(np.uint8)).save(mask_path)
+            if depth:
+                depth_path = os.path.join(cls_dir, "depth", f"{split}_{i:05d}.png")
+                Image.fromarray((dep * 10000).astype(np.int32), mode="I").save(depth_path)
+
+            def proj(p):
+                c = p @ R.T + rt[:, 3]
+                q = c @ LINEMOD_K.T
+                return (q[:, :2] / q[:, 2:]).tolist()
+
+            images.append(
+                {"id": img_id, "file_name": img_path, "height": h, "width": w}
+            )
+            ann = {
+                "id": img_id,
+                "image_id": img_id,
+                "category_id": 1,
+                "mask_path": mask_path,
+                "type": "real",
+                "cls": cls,
+                "pose": rt.tolist(),
+                "K": LINEMOD_K.tolist(),
+                "fps_3d": fps_3d.tolist(),
+                "fps_2d": proj(fps_3d),
+                "center_3d": center_3d.tolist(),
+                "center_2d": proj(center_3d[None])[0],
+                "corner_3d": corner_3d.tolist(),
+                "corner_2d": proj(corner_3d),
+                "data_root": cls_dir,
+            }
+            if depth:
+                ann["depth_path"] = depth_path
+            annotations.append(ann)
+        out = {
+            "images": images,
+            "annotations": annotations,
+            "categories": [{"supercategory": "none", "id": 1, "name": cls}],
+        }
+        path = os.path.join(root, f"{cls}_{split}.json")
+        with open(path, "w") as f:
+            json.dump(out, f)
+        return path
+
+    train_json = render_split("train", n_train, 0)
+    test_json = render_split("test", n_test, 100000)
+    return {
+        "cls": cls,
+        "model_path": os.path.join(cls_dir, f"{cls}.ply"),
+        "diameter": diameter,
+        "train_json": train_json,
+        "test_json": test_json,
+        "fps_3d": fps_3d,
+        "center_3d": center_3d,
+        "K": LINEMOD_K,
+    }

@@ -1,0 +1,9 @@
+from clean_pvnet_tpu.models.pvnet import PVNet, build_pvnet, decode_keypoints  # noqa: F401
+from clean_pvnet_tpu.models.resnet import ResNetStride8  # noqa: F401
+from clean_pvnet_tpu.registry import NETWORKS  # noqa: F401
+
+
+def make_network(cfg):
+    """Factory counterpart of reference lib/networks/make_network.py:31-34,
+    resolving from the explicit registry instead of imp.load_source."""
+    return NETWORKS.build(cfg.network.name, cfg)
