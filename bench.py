@@ -1,0 +1,77 @@
+"""Benchmark: end-to-end pose-estimation frames/s/chip at 480×640.
+
+Measures the full inference path — PVNet forward (bf16) + RANSAC voting
+decode + PnP — as ONE jitted on-device program, the path the reference runs
+at ~25 fps on a GTX 1080 Ti (PVNet paper abstract; BASELINE.md). Prints one
+JSON line; vs_baseline is the ratio to that 25 fps reference number.
+
+Run on TPU: python bench.py [--batch 16] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--un_pnp", action="store_true")
+    args = parser.parse_args()
+
+    from clean_pvnet_tpu.config import Config
+    from clean_pvnet_tpu.eval import InferencePipeline
+    from clean_pvnet_tpu.models import make_network
+
+    cfg = Config()
+    model = make_network(cfg)
+    rng = np.random.RandomState(0)
+
+    b, h, w = args.batch, 480, 640
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    kpt_3d = rng.randn(9, 3).astype(np.float32) * 0.05
+    K = np.array(
+        [[572.4114, 0, 325.2611], [0, 573.57043, 242.04899], [0, 0, 1]],
+        np.float32,
+    )
+    pipeline = InferencePipeline(cfg, model, kpt_3d, un_pnp=args.un_pnp)
+
+    inp = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    Kb = jnp.asarray(np.tile(K, (b, 1, 1)))
+    key = jax.random.PRNGKey(0)
+
+    # warmup (compile)
+    for i in range(args.warmup):
+        out = pipeline(variables, inp, Kb, jax.random.fold_in(key, i))
+    jax.block_until_ready(out["pose"])
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        out = pipeline(variables, inp, Kb, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(out["pose"])
+    dt = time.perf_counter() - t0
+
+    fps = args.iters * b / dt
+    print(
+        json.dumps(
+            {
+                "metric": "frames/s/chip at 480x640 (network+voting+PnP)",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 25.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

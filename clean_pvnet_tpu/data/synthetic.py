@@ -136,6 +136,11 @@ def generate_synthetic_dataset(
     """Write images/masks/ply/jsons under `root`; returns summary paths."""
     rng = np.random.RandomState(seed)
     h, w = hw
+    # scale intrinsics with the frame so geometry stays LINEMOD-like at any
+    # test resolution
+    K = LINEMOD_K.copy()
+    K[0] *= w / 640.0
+    K[1] *= h / 480.0
     verts, faces, colors = make_synthetic_mesh(seed)
     cls_dir = os.path.join(root, cls)
     os.makedirs(os.path.join(cls_dir, "rgb"), exist_ok=True)
@@ -171,7 +176,7 @@ def generate_synthetic_dataset(
             x = rng.uniform(-0.12, 0.12) * z
             y = rng.uniform(-0.09, 0.09) * z
             rt = np.concatenate([R, np.array([[x], [y], [z]])], -1)
-            color, dep, mask = render_mesh_np(verts, faces, LINEMOD_K, rt, hw, colors)
+            color, dep, mask = render_mesh_np(verts, faces, K, rt, hw, colors)
             bg = _background(rng, h, w)
             frame = np.where(mask[..., None] > 0, color, bg)
             # mild lighting variation + sensor noise
@@ -187,7 +192,7 @@ def generate_synthetic_dataset(
 
             def proj(p):
                 c = p @ R.T + rt[:, 3]
-                q = c @ LINEMOD_K.T
+                q = c @ K.T
                 return (q[:, :2] / q[:, 2:]).tolist()
 
             images.append(
@@ -201,7 +206,7 @@ def generate_synthetic_dataset(
                 "type": "real",
                 "cls": cls,
                 "pose": rt.tolist(),
-                "K": LINEMOD_K.tolist(),
+                "K": K.tolist(),
                 "fps_3d": fps_3d.tolist(),
                 "fps_2d": proj(fps_3d),
                 "center_3d": center_3d.tolist(),
@@ -233,5 +238,5 @@ def generate_synthetic_dataset(
         "test_json": test_json,
         "fps_3d": fps_3d,
         "center_3d": center_3d,
-        "K": LINEMOD_K,
+        "K": K,
     }

@@ -1,0 +1,121 @@
+"""LINEMOD evaluator: ADD(-S), 2D-projection, 5cm-5°, mask AP70.
+
+Behavioral counterpart of reference lib/evaluators/linemod/pvnet.py:24-227:
+per-image pose estimation from voted keypoints (standard or uncertainty
+PnP), thresholded metrics accumulated over the split, printed and returned
+by summarize(). Metric math runs on-device (eval/metrics.py); this class
+owns the host-side accumulation only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from clean_pvnet_tpu.config import Config
+from clean_pvnet_tpu.eval.metrics import (
+    add_error,
+    adds_error,
+    cm_degree,
+    mask_iou,
+    projection_2d_error,
+)
+from clean_pvnet_tpu.registry import EVALUATORS
+
+# symmetric objects use ADD-S (ref pvnet.py:199-202)
+SYMMETRIC_CLASSES = ("eggbox", "glue")
+
+# object diameters in cm (ref lib/utils/linemod/linemod_config.py:2-18)
+LINEMOD_DIAMETERS = {
+    "ape": 9.74298, "benchvise": 28.6908, "bowl": 17.1185, "cam": 17.1593,
+    "can": 19.3416, "cat": 15.2633, "cup": 12.5961, "driller": 25.9425,
+    "duck": 10.7131, "eggbox": 17.6364, "glue": 16.4857,
+    "holepuncher": 14.8204, "iron": 30.3153, "lamp": 28.5155, "phone": 20.8394,
+}
+
+
+@EVALUATORS.register("pvnet")
+class LinemodEvaluator:
+    def __init__(
+        self,
+        cfg: Config,
+        model_pts: np.ndarray,
+        diameter: float,
+        cls_type: str | None = None,
+        icp_refiner=None,
+    ):
+        """model_pts [N,3] object point cloud (meters); diameter in meters."""
+        self.cfg = cfg
+        self.model_pts = jnp.asarray(model_pts, jnp.float32)
+        self.diameter = float(diameter)
+        self.cls = cls_type or cfg.cls_type
+        self.symmetric = self.cls in SYMMETRIC_CLASSES
+        self.icp_refiner = icp_refiner
+        self.reset()
+
+    def reset(self):
+        self.proj2d: list[bool] = []
+        self.add: list[bool] = []
+        self.cmd5: list[bool] = []
+        self.mask_ap: list[bool] = []
+        self.icp_add: list[bool] = []
+        self.add_dists: list[float] = []
+
+    def evaluate_pose(self, pose_pred, pose_gt, K) -> dict:
+        """Single pose pair → metric booleans (threshold semantics:
+        proj<5px ref :59-66, ADD<0.1·d ref :68-82, 5cm-5° ref :84-94)."""
+        pose_pred = jnp.asarray(pose_pred, jnp.float32)
+        pose_gt = jnp.asarray(pose_gt, jnp.float32)
+        K = jnp.asarray(K, jnp.float32)
+        proj = float(projection_2d_error(self.model_pts, pose_pred, pose_gt, K))
+        if self.symmetric:
+            dist = float(adds_error(self.model_pts, pose_pred, pose_gt))
+        else:
+            dist = float(add_error(self.model_pts, pose_pred, pose_gt))
+        t_cm, r_deg = cm_degree(pose_pred, pose_gt)
+        return {
+            "proj2d": proj < 5.0,
+            "add": dist < self.diameter * 0.1,
+            "add_dist": dist,
+            "cmd5": bool(float(t_cm) < 5.0 and float(r_deg) < 5.0),
+        }
+
+    def evaluate(self, output: dict, batch: dict):
+        """Accumulate one batch. output: pipeline dict with 'pose' and
+        'mask'; batch: collated loader dict with meta anns."""
+        poses = np.asarray(output["pose"])
+        masks_pred = np.asarray(output["mask"])
+        metas = batch["meta"]
+        masks_gt = np.asarray(batch["mask"])
+        for i in range(len(poses)):
+            ann = metas[i]["ann"]
+            pose_gt = np.asarray(ann["pose"], np.float32)
+            K = np.asarray(ann["K"], np.float32)
+            pose_pred = poses[i]
+            if self.icp_refiner is not None and "depth_path" in ann:
+                refined = self.icp_refiner(pose_pred, ann, masks_pred[i], K)
+                m = self.evaluate_pose(refined, pose_gt, K)
+                self.icp_add.append(m["add"])
+            m = self.evaluate_pose(pose_pred, pose_gt, K)
+            self.proj2d.append(m["proj2d"])
+            self.add.append(m["add"])
+            self.add_dists.append(m["add_dist"])
+            self.cmd5.append(m["cmd5"])
+            iou = float(mask_iou(jnp.asarray(masks_pred[i]), jnp.asarray(masks_gt[i])))
+            self.mask_ap.append(iou > 0.7)
+
+    def summarize(self) -> dict:
+        out = {
+            "proj2d": float(np.mean(self.proj2d)) if self.proj2d else 0.0,
+            "add": float(np.mean(self.add)) if self.add else 0.0,
+            "cmd5": float(np.mean(self.cmd5)) if self.cmd5 else 0.0,
+            "ap": float(np.mean(self.mask_ap)) if self.mask_ap else 0.0,
+        }
+        if self.icp_add:
+            out["icp_add"] = float(np.mean(self.icp_add))
+        print(f"2d projections metric: {out['proj2d']}")
+        print(f"ADD metric: {out['add']}")
+        print(f"5 cm 5 degree metric: {out['cmd5']}")
+        print(f"mask ap70: {out['ap']}")
+        self.reset()
+        return out

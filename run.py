@@ -1,0 +1,146 @@
+"""Multi-tool CLI.
+
+Counterpart of reference run.py:6-276 and its `--type` subcommands
+(evaluate / visualize / dataset / network / synthetic data prep), dispatched
+through an explicit table instead of `globals()['run_'+type]`.
+
+  python run.py --type synthetic data_root data            # make data
+  python run.py --type dataset --cfg_file configs/synthetic.yaml
+  python run.py --type network --cfg_file configs/synthetic.yaml
+  python run.py --type evaluate --cfg_file configs/synthetic.yaml
+  python run.py --type visualize --cfg_file configs/synthetic.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def run_synthetic(cfg, args):
+    """Generate the synthetic LINEMOD-style dataset (stand-in for the
+    reference's linemod_to_coco data prep, ref run.py:169-171)."""
+    from clean_pvnet_tpu.data.synthetic import generate_synthetic_dataset
+
+    meta = generate_synthetic_dataset(
+        cfg.data_root, cls=cfg.cls_type, n_train=args.n_train,
+        n_test=args.n_test, depth=True,
+    )
+    print({k: v for k, v in meta.items() if isinstance(v, (str, float))})
+
+
+def run_dataset(cfg, args):
+    """Iterate the train loader (smoke test, ref run.py:22-29)."""
+    from clean_pvnet_tpu.data import make_data_loader
+    import tqdm  # type: ignore
+
+    ann = os.path.join(cfg.data_root, f"{cfg.cls_type}_train.json")
+    loader = make_data_loader(cfg, is_train=True, ann_file=ann)
+    for _ in tqdm.tqdm(loader):
+        pass
+
+
+def run_network(cfg, args):
+    """Time forward passes (ref run.py:32-56)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clean_pvnet_tpu.models import make_network
+
+    model = make_network(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    x = jnp.zeros((1, 480, 640, 3))
+    out = fwd(variables, x)
+    jax.block_until_ready(out["seg"])
+    t0 = time.time()
+    n = 50
+    for _ in range(n):
+        out = fwd(variables, x)
+    jax.block_until_ready(out["seg"])
+    print(f"net fwd: {(time.time()-t0)/n*1000:.2f} ms/frame")
+
+
+def _load_eval_stack(cfg):
+    import jax
+
+    from clean_pvnet_tpu.models import make_network
+    from clean_pvnet_tpu.train import CheckpointIO, Trainer
+    from clean_pvnet_tpu.parallel import make_mesh
+    from train_net import build_eval
+
+    model = make_network(cfg)
+    mesh = make_mesh(cfg.mesh)
+    trainer = Trainer(cfg, model, steps_per_epoch=1, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    ckpt = CheckpointIO(os.path.join(cfg.model_dir, cfg.task, cfg.model))
+    state, epoch = ckpt.restore(state, cfg.test.epoch)
+    print(f"loaded epoch {epoch}")
+    return model, state
+
+
+def run_evaluate(cfg, args):
+    """(ref run.py:59-81)"""
+    from train_net import build_eval, run_eval
+
+    model, state = _load_eval_stack(cfg)
+    loader, pipeline, evaluator = build_eval(cfg, model)
+    print(run_eval(cfg, model, state, loader, pipeline, evaluator))
+
+
+def run_visualize(cfg, args):
+    """(ref run.py:84-100)"""
+    import jax
+    import jax.numpy as jnp
+
+    from clean_pvnet_tpu.vis import make_visualizer
+    from train_net import build_eval
+
+    model, state = _load_eval_stack(cfg)
+    loader, pipeline, evaluator = build_eval(cfg, model)
+    vis = make_visualizer(cfg)
+    for i, batch in enumerate(loader):
+        K = jnp.asarray(
+            np.stack([np.asarray(m["ann"]["K"], np.float32) for m in batch["meta"]])
+        )
+        out = pipeline(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(batch["inp"]), K, jax.random.PRNGKey(i),
+        )
+        path = vis.visualize(out, batch, path=f"vis_{i:03d}.png")
+        print("wrote", path)
+        if i >= args.n_vis - 1:
+            break
+
+
+COMMANDS = {
+    "synthetic": run_synthetic,
+    "dataset": run_dataset,
+    "network": run_network,
+    "evaluate": run_evaluate,
+    "visualize": run_visualize,
+}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--type", required=True, choices=sorted(COMMANDS))
+    parser.add_argument("--cfg_file", default=None)
+    parser.add_argument("--n_train", type=int, default=200)
+    parser.add_argument("--n_test", type=int, default=50)
+    parser.add_argument("--n_vis", type=int, default=4)
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    args = parser.parse_args()
+
+    from clean_pvnet_tpu.config import load_config
+
+    cfg = load_config(args.cfg_file, args.opts)
+    COMMANDS[args.type](cfg, args)
+
+
+if __name__ == "__main__":
+    main()

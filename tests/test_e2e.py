@@ -1,0 +1,98 @@
+"""End-to-end slice test (SURVEY.md §7 milestone 1): synthetic dataset →
+augmented loader → SPMD training → full jitted inference (network → voting →
+PnP) → pose metrics. Small shapes so it runs on the CPU test mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clean_pvnet_tpu.config import Config
+from clean_pvnet_tpu.data import make_data_loader
+from clean_pvnet_tpu.data.synthetic import generate_synthetic_dataset
+from clean_pvnet_tpu.eval import InferencePipeline, LinemodEvaluator
+from clean_pvnet_tpu.models import PVNet
+from clean_pvnet_tpu.parallel import make_mesh
+from clean_pvnet_tpu.train import Trainer
+from clean_pvnet_tpu.utils.ply import load_ply
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e_data")
+    return generate_synthetic_dataset(
+        str(root), cls="obj", n_train=12, n_test=4, hw=(96, 128), seed=3
+    )
+
+
+def test_train_then_eval_pose(synth):
+    cfg = Config().with_overrides(
+        {
+            "train.batch_size": 4,
+            "train.image_buckets": ((96, 128),),
+            "train.lr": 2e-3,
+            "train.num_workers": 2,
+            # tame augmentation variance so 12 images overfit quickly
+            "train.rotate_min": -10.0,
+            "train.rotate_max": 10.0,
+            "train.resize_ratio_min": 0.95,
+            "train.resize_ratio_max": 1.05,
+            "voting.max_pixels": 512,
+            "voting.num_hypotheses": 128,
+            "network.use_bfloat16": False,
+        }
+    )
+    model = PVNet(ver_dim=18, seg_dim=2, fc_dim=64, s8_dim=48, s4_dim=32,
+                  s2_dim=16, raw_dim=16)
+    mesh = make_mesh(num_devices=4)
+    loader = make_data_loader(cfg, is_train=True, ann_file=synth["train_json"])
+    trainer = Trainer(cfg, model, steps_per_epoch=len(loader), mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), (1, 96, 128, 3))
+
+    last_stats = None
+    for epoch in range(30):
+        for batch in loader:
+            from clean_pvnet_tpu.parallel import shard_batch
+
+            batch.pop("meta", None)
+            batch.pop("kpt_2d", None)
+            batch.pop("img_id", None)
+            batch = shard_batch(batch, mesh)
+            state, last_stats = trainer._train_step(state, batch)
+    assert float(last_stats["loss"]) < 0.30, float(last_stats["loss"])
+
+    # --- eval on TRAIN images (overfit check: the full decode must work) ---
+    kpt_3d = np.concatenate([synth["fps_3d"], [synth["center_3d"]]], 0)
+    pipeline = InferencePipeline(cfg, model, kpt_3d, un_pnp=False)
+
+    mesh_ply = load_ply(synth["model_path"])
+    evaluator = LinemodEvaluator(
+        cfg, mesh_ply["pts"], synth["diameter"], cls_type="obj"
+    )
+
+    eval_loader = make_data_loader(cfg, is_train=False, ann_file=synth["train_json"])
+    n = 0
+    for batch in eval_loader:
+        K = jnp.asarray(
+            np.stack([np.asarray(m["ann"]["K"], np.float32) for m in batch["meta"]])
+        )
+        out = pipeline(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(batch["inp"]),
+            K,
+            jax.random.PRNGKey(42 + n),
+        )
+        evaluator.evaluate(out, batch)
+        n += 1
+
+    add_dists = list(evaluator.add_dists)
+    metrics = evaluator.summarize()
+    # Overfit on 12 train images with a tiny model and ~100 CPU steps: the
+    # segmentation must be solid and poses in the right basin. (Full-accuracy
+    # convergence is exercised by the TPU training run in tools/, where the
+    # compute budget allows it — CPU CI asserts trend-level correctness.)
+    assert metrics["ap"] >= 0.75, metrics
+    assert np.median(add_dists) < 0.5 * synth["diameter"], (add_dists, metrics)
+    assert metrics["proj2d"] >= 0.25 or metrics["cmd5"] >= 0.25 or (
+        np.median(add_dists) < 0.2 * synth["diameter"]
+    ), metrics
