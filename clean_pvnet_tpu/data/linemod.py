@@ -40,12 +40,17 @@ def read_mask(path: str, ann_type: str, cls_idx: int = 1) -> np.ndarray:
 
 class LinemodDataset:
     def __init__(self, cfg: Config, ann_file: str, split: str = "train",
-                 seed: int = 0):
+                 seed: int = 0, host_vertex: bool = True):
+        """host_vertex=False skips the host-side vertex-field target; the
+        train step then derives it on-device from (mask, kpt_2d) — the
+        TPU-native layout (see train/trainer.py), cutting per-sample host
+        work and host→device bytes by ~10×."""
         self.cfg = cfg
         self.split = split
         self.coco = CocoIndex(ann_file)
         self.img_ids = self.coco.get_img_ids()
         self.rng = np.random.RandomState(seed)
+        self.host_vertex = host_vertex
 
     def __len__(self) -> int:
         return len(self.img_ids)
@@ -75,15 +80,16 @@ class LinemodDataset:
             img = photometric_train(img, self.rng)
 
         inp = normalize_image(img)
-        vertex = compute_vertex_field_np(mask, kpt_2d)
-        return {
+        out = {
             "inp": inp,
             "mask": mask.astype(np.int32),
-            "vertex": vertex,
-            "kpt_2d": kpt_2d,
+            "kpt_2d": kpt_2d.astype(np.float32),
             "img_id": img_id,
             "meta": {"ann": ann},
         }
+        if self.host_vertex:
+            out["vertex"] = compute_vertex_field_np(mask, kpt_2d)
+        return out
 
 
 @DATASETS.register("LinemodTrain")

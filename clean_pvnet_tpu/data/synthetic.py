@@ -240,3 +240,139 @@ def generate_synthetic_dataset(
         "center_3d": center_3d,
         "K": K,
     }
+
+
+def generate_multiobject_dataset(
+    root: str,
+    num_classes: int = 3,
+    n_scenes: int = 24,
+    max_inst: int = 4,
+    hw: tuple[int, int] = (256, 320),
+    seed: int = 0,
+):
+    """Multi-instance scenes for the detector/cascade path.
+
+    Stand-in for the reference's Blender-rendered + cut-paste T-LESS scene
+    composition (ref lib/datasets/tless/ct.py:26-57, fuse.py:21-78): each
+    scene holds several posed instances of `num_classes` object classes with
+    full per-instance annotations (class, bbox, pose, K, keypoints) in the
+    same COCO-style schema.
+    """
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    K = LINEMOD_K.copy()
+    K[0] *= w / 640.0
+    K[1] *= h / 480.0
+
+    classes = []
+    os.makedirs(root, exist_ok=True)
+    for c in range(num_classes):
+        verts, faces, colors = make_synthetic_mesh(seed=100 + c, radius=0.05)
+        fps_3d = farthest_point_sampling_np(verts, 8, init_center=True)
+        center_3d = (verts.max(0) + verts.min(0)) / 2.0
+        cls_dir = os.path.join(root, f"obj_{c:02d}")
+        os.makedirs(cls_dir, exist_ok=True)
+        save_ply(os.path.join(cls_dir, f"obj_{c:02d}.ply"), verts, faces,
+                 (colors * 255).astype(np.uint8))
+        d2 = ((verts[:, None] - verts[None]) ** 2).sum(-1)
+        classes.append(
+            dict(verts=verts, faces=faces, colors=colors, fps_3d=fps_3d,
+                 center_3d=center_3d, diameter=float(np.sqrt(d2.max())),
+                 dir=cls_dir)
+        )
+
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(root, "mask"), exist_ok=True)
+    images, annotations = [], []
+    ann_id = 0
+    for si in range(n_scenes):
+        bg = _background(rng, h, w)
+        zbuf = np.full((h, w), np.inf, np.float32)
+        seg = np.zeros((h, w), np.int32)
+        frame = bg.copy()
+        n_inst = rng.randint(1, max_inst + 1)
+        insts = []
+        for ii in range(n_inst):
+            c = rng.randint(num_classes)
+            cl = classes[c]
+            R = random_rotation(rng)
+            z = rng.uniform(0.5, 0.9)
+            x = rng.uniform(-0.12, 0.12) * z
+            y = rng.uniform(-0.1, 0.1) * z
+            rt = np.concatenate([R, np.array([[x], [y], [z]])], -1)
+            color, dep, mask = render_mesh_np(cl["verts"], cl["faces"], K, rt,
+                                              hw, cl["colors"])
+            vis = mask.astype(bool) & (np.where(dep > 0, dep, np.inf) < zbuf)
+            if vis.sum() < 40:
+                continue
+            zbuf[vis] = dep[vis]
+            frame[vis] = color[vis]
+            seg[vis] = ii + 1
+            insts.append((ii + 1, c, rt, mask.sum()))
+
+        img_path = os.path.join(root, "rgb", f"{si:05d}.png")
+        mask_path = os.path.join(root, "mask", f"{si:05d}.png")
+        frame = np.clip(frame + rng.randn(h, w, 3) * 0.01, 0, 1)
+        Image.fromarray((frame * 255).astype(np.uint8)).save(img_path)
+        Image.fromarray(seg.astype(np.uint8)).save(mask_path)
+        images.append({"id": si, "file_name": img_path, "height": h, "width": w})
+
+        for inst_id, c, rt, full_area in insts:
+            vis_mask = seg == inst_id
+            if vis_mask.sum() < 0.25 * full_area:  # occlusion rejection
+                continue
+            ys, xs = np.nonzero(vis_mask)
+            cl = classes[c]
+
+            def proj(p):
+                cam = p @ rt[:, :3].T + rt[:, 3]
+                q = cam @ K.T
+                return (q[:, :2] / q[:, 2:]).tolist()
+
+            annotations.append(
+                {
+                    "id": ann_id,
+                    "image_id": si,
+                    "category_id": c + 1,
+                    "inst_id": int(inst_id),
+                    "bbox": [float(xs.min()), float(ys.min()),
+                             float(xs.max() - xs.min()),
+                             float(ys.max() - ys.min())],
+                    "mask_path": mask_path,
+                    "type": "fuse",
+                    "cls": f"obj_{c:02d}",
+                    "pose": rt.tolist(),
+                    "K": K.tolist(),
+                    "fps_3d": cl["fps_3d"].tolist(),
+                    "fps_2d": proj(cl["fps_3d"]),
+                    "center_3d": cl["center_3d"].tolist(),
+                    "center_2d": proj(cl["center_3d"][None])[0],
+                }
+            )
+            ann_id += 1
+
+    out = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [
+            {"supercategory": "none", "id": c + 1, "name": f"obj_{c:02d}"}
+            for c in range(num_classes)
+        ],
+    }
+    path = os.path.join(root, "scenes.json")
+    with open(path, "w") as f:
+        json.dump(out, f)
+    return {
+        "scenes_json": path,
+        "num_classes": num_classes,
+        "K": K,
+        "classes": [
+            {
+                "model_path": os.path.join(cl["dir"], os.path.basename(cl["dir"]) + ".ply"),
+                "diameter": cl["diameter"],
+                "fps_3d": cl["fps_3d"],
+                "center_3d": cl["center_3d"],
+            }
+            for cl in classes
+        ],
+    }

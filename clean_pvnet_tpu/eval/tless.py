@@ -1,0 +1,162 @@
+"""Multi-instance (T-LESS-style) evaluator: ADI, 5cm-5°, VSD per GT
+instance, plus detection mAP for the detector stage.
+
+Behavioral counterpart of reference lib/evaluators/tless_test/pvnet.py:
+33-303 (per-detection pose estimation matched back to GT instances, metrics
+counted per GT) and lib/evaluators/tless_test/ct.py:32-79 (COCO bbox mAP,
+re-implemented here without pycocotools).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from clean_pvnet_tpu.config import Config
+from clean_pvnet_tpu.eval.metrics import adds_error, cm_degree
+from clean_pvnet_tpu.eval.vsd import vsd_pose_error
+from clean_pvnet_tpu.registry import EVALUATORS
+
+
+@EVALUATORS.register("ct_pvnet")
+class TlessEvaluator:
+    def __init__(
+        self,
+        cfg: Config,
+        class_models: list[dict],
+        hw: tuple[int, int],
+        vsd_meshes: list[tuple] | None = None,
+    ):
+        """class_models[c]: {'pts': [N,3], 'diameter': float}.
+        vsd_meshes[c]: (verts, faces) for depth rendering (optional — VSD is
+        skipped without depth/meshes, like the reference skips ICP without
+        depth)."""
+        self.cfg = cfg
+        self.models = [
+            {
+                "pts": jnp.asarray(m["pts"], jnp.float32),
+                "diameter": float(m["diameter"]),
+            }
+            for m in class_models
+        ]
+        self.hw = tuple(hw)
+        self.vsd_meshes = vsd_meshes
+        self.reset()
+
+    def reset(self):
+        self.adi = []
+        self.cmd5 = []
+        self.vsd = []
+        self.n_gt = 0
+
+    def evaluate_scene(
+        self,
+        gt_insts: list[dict],       # per-GT: {cls, pose, K}
+        pred: list[dict],           # per-detection: {cls, pose, score}
+        depth_test: np.ndarray | None = None,
+    ):
+        """Match predictions to GT instances per class (highest score first,
+        each GT consumed once — the reference counts metrics per GT image,
+        ref tless_test/pvnet.py:107-125)."""
+        used = [False] * len(pred)
+        order = sorted(range(len(pred)),
+                       key=lambda i: -pred[i].get("score", 1.0))
+        for gt in gt_insts:
+            self.n_gt += 1
+            best = None
+            for i in order:
+                if used[i] or pred[i]["cls"] != gt["cls"]:
+                    continue
+                best = i
+                break
+            if best is None:
+                self.adi.append(False)
+                self.cmd5.append(False)
+                if depth_test is not None and self.vsd_meshes is not None:
+                    self.vsd.append(False)
+                continue
+            used[best] = True
+            c = gt["cls"]
+            model = self.models[c]
+            pose_p = jnp.asarray(pred[best]["pose"], jnp.float32)
+            pose_g = jnp.asarray(gt["pose"], jnp.float32)
+            dist = float(adds_error(model["pts"], pose_p, pose_g))
+            self.adi.append(dist < 0.1 * model["diameter"])
+            t_cm, r_deg = cm_degree(pose_p, pose_g)
+            self.cmd5.append(bool(float(t_cm) < 5 and float(r_deg) < 5))
+            if depth_test is not None and self.vsd_meshes is not None:
+                verts, faces = self.vsd_meshes[c]
+                err = float(
+                    vsd_pose_error(
+                        pose_p,
+                        pose_g,
+                        jnp.asarray(verts, jnp.float32),
+                        jnp.asarray(faces, jnp.int32),
+                        jnp.asarray(depth_test, jnp.float32),
+                        jnp.asarray(gt["K"], jnp.float32),
+                        self.hw,
+                        delta=self.cfg.test.vsd_delta / 1000.0,
+                        tau=self.cfg.test.vsd_tau / 1000.0,
+                        cost_type="step",
+                    )
+                )
+                self.vsd.append(err < self.cfg.test.vsd_thresh)
+
+    def summarize(self) -> dict:
+        out = {
+            "adi": float(np.mean(self.adi)) if self.adi else 0.0,
+            "cmd5": float(np.mean(self.cmd5)) if self.cmd5 else 0.0,
+        }
+        if self.vsd:
+            out["vsd"] = float(np.mean(self.vsd))
+        print(" ".join(f"{k}: {v:.4f}" for k, v in out.items()))
+        self.reset()
+        return out
+
+
+def detection_ap(
+    gts: list[list[tuple[int, np.ndarray]]],
+    preds: list[list[tuple[int, float, np.ndarray]]],
+    iou_thresh: float = 0.5,
+) -> float:
+    """AP@iou for axis-aligned boxes, all classes pooled.
+
+    Minimal stand-in for the vendored COCOeval bbox mAP
+    (ref lib/evaluators/tless_test/ct.py:32-79, coco_eval.py).
+    gts[i]  = [(cls, box4)] per image; preds[i] = [(cls, score, box4)].
+    """
+
+    def iou(a, b):
+        x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
+        x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
+        inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+        ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+        return inter / ua if ua > 0 else 0.0
+
+    records = []
+    n_gt = sum(len(g) for g in gts)
+    for img, dets in enumerate(preds):
+        taken = [False] * len(gts[img])
+        for cls, score, box in sorted(dets, key=lambda d: -d[1]):
+            hit = False
+            for j, (gcls, gbox) in enumerate(gts[img]):
+                if taken[j] or gcls != cls:
+                    continue
+                if iou(box, gbox) >= iou_thresh:
+                    taken[j] = True
+                    hit = True
+                    break
+            records.append((score, hit))
+    if not records or n_gt == 0:
+        return 0.0
+    records.sort(key=lambda r: -r[0])
+    tp = np.cumsum([r[1] for r in records])
+    fp = np.cumsum([not r[1] for r in records])
+    recall = tp / n_gt
+    precision = tp / np.maximum(tp + fp, 1)
+    # 101-point interpolation (COCO style)
+    ap = 0.0
+    for r in np.linspace(0, 1, 101):
+        p = precision[recall >= r]
+        ap += float(p.max()) if len(p) else 0.0
+    return ap / 101.0

@@ -31,6 +31,19 @@ def pvnet_step_fns(cfg: Config):
     """
 
     def train_step(state: TrainState, batch: Mapping[str, jax.Array]):
+        # vertex-field targets: precomputed on host, or — the TPU-native
+        # default — derived on-device from (mask, kpt_2d), which shrinks
+        # host→device traffic from a [B,H,W,2·vn] float tensor to [B,vn,2]
+        # and moves the dense per-pixel math onto the VPU
+        if "vertex" in batch:
+            vertex_gt = batch["vertex"]
+        else:
+            from clean_pvnet_tpu.geometry.vertex import compute_vertex_field
+
+            vertex_gt = jax.vmap(compute_vertex_field)(
+                batch["mask"], batch["kpt_2d"]
+            )
+
         def loss_fn(params):
             out, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -39,7 +52,7 @@ def pvnet_step_fns(cfg: Config):
                 mutable=["batch_stats"],
             )
             loss, stats = pvnet_loss(
-                out["seg"], out["vertex"], batch["mask"], batch["vertex"]
+                out["seg"], out["vertex"], batch["mask"], vertex_gt
             )
             return loss, (stats, mutated["batch_stats"])
 

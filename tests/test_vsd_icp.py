@@ -1,0 +1,124 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clean_pvnet_tpu.data.synthetic import make_synthetic_mesh
+from clean_pvnet_tpu.eval.icp import ICPRefiner, depth_to_cloud_fixed, icp_fixed
+from clean_pvnet_tpu.eval.vsd import depth_to_dist, vsd_error, vsd_pose_error
+from clean_pvnet_tpu.geometry.transforms import angle_axis_to_matrix
+from clean_pvnet_tpu.ops.rasterize import render_mesh_np
+
+HW = (96, 128)
+K = np.array([[150.0, 0, 64], [0, 150.0, 48], [0, 0, 1]], np.float32)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    verts, faces, _ = make_synthetic_mesh(0)
+    return jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32)
+
+
+def pose(aa=(0.0, 0.0, 0.0), t=(0.0, 0.0, 0.5)):
+    R = np.asarray(angle_axis_to_matrix(jnp.asarray(aa, jnp.float32)))
+    return np.concatenate([R, np.asarray(t, np.float32)[:, None]], -1).astype(
+        np.float32
+    )
+
+
+class TestVSD:
+    def test_same_pose_zero_error(self, mesh):
+        verts, faces = mesh
+        p = jnp.asarray(pose())
+        _, depth, _ = render_mesh_np(
+            np.asarray(verts), np.asarray(faces), K, np.asarray(p), HW
+        )
+        err = vsd_pose_error(
+            p, p, verts, faces, jnp.asarray(depth), jnp.asarray(K), HW,
+            delta=0.015, tau=0.02,
+        )
+        assert float(err) < 0.05, float(err)
+
+    def test_far_pose_high_error(self, mesh):
+        verts, faces = mesh
+        p_gt = jnp.asarray(pose())
+        p_bad = jnp.asarray(pose(t=(0.12, 0.0, 0.5)))
+        _, depth, _ = render_mesh_np(
+            np.asarray(verts), np.asarray(faces), K, np.asarray(p_gt), HW
+        )
+        err = vsd_pose_error(
+            p_bad, p_gt, verts, faces, jnp.asarray(depth), jnp.asarray(K), HW,
+            delta=0.015, tau=0.02,
+        )
+        assert float(err) > 0.7, float(err)
+
+    def test_small_shift_moderate_error(self, mesh):
+        verts, faces = mesh
+        p_gt = jnp.asarray(pose())
+        p_near = jnp.asarray(pose(t=(0.004, 0.0, 0.5)))
+        _, depth, _ = render_mesh_np(
+            np.asarray(verts), np.asarray(faces), K, np.asarray(p_gt), HW
+        )
+        err = vsd_pose_error(
+            p_near, p_gt, verts, faces, jnp.asarray(depth), jnp.asarray(K), HW,
+            delta=0.015, tau=0.02,
+        )
+        assert float(err) < 0.3, float(err)
+
+    def test_dist_conversion(self):
+        depth = np.zeros(HW, np.float32)
+        depth[48, 64] = 2.0  # on principal axis: dist == depth
+        dist = np.asarray(depth_to_dist(jnp.asarray(depth), jnp.asarray(K)))
+        np.testing.assert_allclose(dist[48, 64], 2.0, atol=1e-5)
+        depth[0, 0] = 2.0
+        dist = np.asarray(depth_to_dist(jnp.asarray(depth), jnp.asarray(K)))
+        assert dist[0, 0] > 2.0  # off-axis ray is longer
+
+
+class TestICP:
+    def test_cloud_backprojection(self, mesh):
+        verts, faces = mesh
+        p = pose()
+        _, depth, mask = render_mesh_np(
+            np.asarray(verts), np.asarray(faces), K, p, HW
+        )
+        pts, w = depth_to_cloud_fixed(
+            jnp.asarray(depth), jnp.asarray(K), 512, jax.random.PRNGKey(0)
+        )
+        pts, w = np.asarray(pts), np.asarray(w)
+        assert w.sum() > 100
+        zs = pts[w > 0, 2]
+        assert (np.abs(zs - 0.5) < 0.15).all()
+
+    def test_translation_recovery(self, mesh):
+        # ICP must recover a small translation offset between clouds
+        verts, faces = mesh
+        rng = np.random.RandomState(0)
+        src = np.asarray(verts)[rng.choice(len(np.asarray(verts)), 256)]
+        shift = np.array([0.01, -0.005, 0.008], np.float32)
+        dst = src + shift
+        R, t = icp_fixed(
+            jnp.asarray(src), jnp.ones(256), jnp.asarray(dst), jnp.ones(256),
+            iters=20,
+        )
+        np.testing.assert_allclose(np.asarray(t), shift, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(R), np.eye(3), atol=1e-2)
+
+    def test_refiner_improves_perturbed_pose(self, mesh):
+        verts, faces = mesh
+        p_gt = pose()
+        _, depth_obs, _ = render_mesh_np(
+            np.asarray(verts), np.asarray(faces), K, p_gt, HW
+        )
+        p_bad = pose(aa=(0.05, -0.04, 0.03), t=(0.008, -0.006, 0.515))
+        refiner = ICPRefiner(verts, faces, HW, n_points=1024)
+        refined = np.asarray(
+            refiner.refine_two_stage(
+                jnp.asarray(p_bad), jnp.asarray(depth_obs), jnp.asarray(K),
+                jax.random.PRNGKey(0),
+            )
+        )
+        err_before = np.linalg.norm(p_bad[:, 3] - p_gt[:, 3])
+        err_after = np.linalg.norm(refined[:, 3] - p_gt[:, 3])
+        assert err_after < err_before, (err_before, err_after)
+        assert err_after < 0.006, err_after

@@ -1,0 +1,145 @@
+"""Full-accuracy training run on the TPU chip (synthetic LINEMOD-style data).
+
+This is the accuracy proof for the end-to-end stack: real training budget,
+480×640 frames, the same decode path the benchmark measures. Produces
+data/record/synth_tpu_metrics.json with the final ADD / proj2d / 5cm5°.
+
+  python tools/train_synth_tpu.py [--epochs 30] [--n_train 160]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clean_pvnet_tpu.config import Config
+from clean_pvnet_tpu.data import DataLoader, LinemodDataset
+from clean_pvnet_tpu.data.synthetic import generate_synthetic_dataset
+from clean_pvnet_tpu.eval import InferencePipeline, LinemodEvaluator
+from clean_pvnet_tpu.models import make_network
+from clean_pvnet_tpu.parallel import make_mesh, shard_batch
+from clean_pvnet_tpu.train import Trainer
+from clean_pvnet_tpu.utils.ply import load_ply
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--n_train", type=int, default=160)
+    ap.add_argument("--n_test", type=int, default=40)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--hw", type=int, nargs=2, default=(480, 640))
+    ap.add_argument("--root", default="data/synth_tpu")
+    ap.add_argument("--out", default="data/record/synth_tpu_metrics.json")
+    args = ap.parse_args()
+
+    hw = tuple(args.hw)
+    meta_path = os.path.join(args.root, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stored = json.load(f)
+        synth = {
+            **stored,
+            "fps_3d": np.asarray(stored["fps_3d"]),
+            "center_3d": np.asarray(stored["center_3d"]),
+        }
+        print("reusing dataset at", args.root)
+    else:
+        t0 = time.time()
+        synth = generate_synthetic_dataset(
+            args.root, cls="synth", n_train=args.n_train, n_test=args.n_test,
+            hw=hw, seed=0,
+        )
+        print(f"dataset generated in {time.time()-t0:.0f}s")
+        with open(meta_path, "w") as f:
+            json.dump(
+                {
+                    **{k: v for k, v in synth.items()
+                       if isinstance(v, (str, float, int))},
+                    "fps_3d": np.asarray(synth["fps_3d"]).tolist(),
+                    "center_3d": np.asarray(synth["center_3d"]).tolist(),
+                },
+                f,
+            )
+
+    cfg = Config().with_overrides(
+        {
+            "cls_type": "synth",
+            "data_root": args.root,
+            "train.batch_size": args.batch,
+            "train.image_buckets": (hw,),
+            "train.lr": 1e-3,
+            "train.milestones": tuple(
+                int(args.epochs * f) for f in (0.5, 0.75, 0.9)
+            ),
+            "train.num_workers": 2,
+            "voting.max_pixels": 128,
+            "voting.num_hypotheses": 128,
+        }
+    )
+    model = make_network(cfg)
+    mesh = make_mesh(num_devices=1)
+
+    train_ds = LinemodDataset(cfg, synth["train_json"], split="train",
+                              host_vertex=False)
+    loader = DataLoader(train_ds, args.batch, buckets=(hw,), num_workers=2)
+    trainer = Trainer(cfg, model, steps_per_epoch=len(loader), mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), (1, hw[0], hw[1], 3))
+
+    kpt_3d = np.concatenate([synth["fps_3d"], [synth["center_3d"]]], 0)
+    pipeline = InferencePipeline(cfg, model, kpt_3d, un_pnp=False)
+    mesh_ply = load_ply(synth["model_path"])
+    evaluator = LinemodEvaluator(cfg, mesh_ply["pts"], synth["diameter"],
+                                 cls_type="synth")
+    test_ds = LinemodDataset(cfg, synth["test_json"], split="test")
+    test_loader = DataLoader(test_ds, 4, shuffle=False, buckets=(hw,),
+                             num_workers=2, drop_last=False)
+
+    def run_eval(tag):
+        for i, batch in enumerate(test_loader):
+            K = jnp.asarray(
+                np.stack([np.asarray(m["ann"]["K"], np.float32)
+                          for m in batch["meta"]])
+            )
+            out = pipeline(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                jnp.asarray(batch["inp"]), K, jax.random.PRNGKey(i),
+            )
+            evaluator.evaluate(out, batch)
+        m = evaluator.summarize()
+        print(f"[{tag}]", m)
+        return m
+
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        te = time.time()
+        for batch in loader:
+            b = {k: batch[k] for k in ("inp", "mask", "kpt_2d")}
+            state, stats = trainer._train_step(state, shard_batch(b, mesh))
+        print(
+            f"epoch {epoch}: loss {float(stats['loss']):.4f} "
+            f"vote {float(stats['vote_loss']):.4f} "
+            f"seg {float(stats['seg_loss']):.4f} ({time.time()-te:.0f}s)"
+        )
+        if (epoch + 1) % 10 == 0 and epoch + 1 < args.epochs:
+            run_eval(f"epoch {epoch}")
+
+    metrics = run_eval("final")
+    metrics["train_minutes"] = (time.time() - t0) / 60
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(metrics, f, indent=2)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
