@@ -22,6 +22,12 @@ def compute_vertex_field_np(mask: np.ndarray, kpt_2d: np.ndarray) -> np.ndarray:
     Background pixels are zero. Norms are floored at 1e-3 like the reference
     (ref pvnet_data_utils.py:37-38: norm[norm < 1e-3] += 1e-3).
     """
+    from clean_pvnet_tpu import native
+
+    fast = native.compute_vertex_f32(mask, np.asarray(kpt_2d, np.float32))
+    if fast is not None:
+        return fast
+
     h, w = mask.shape
     k = kpt_2d.shape[0]
     ys, xs = np.nonzero(mask == 1)

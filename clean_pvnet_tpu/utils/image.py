@@ -43,6 +43,19 @@ def warp_affine(
     """Apply 2×3 affine M (input→output mapping) like cv2.warpAffine."""
     th, tw = out_hw
     Minv = _invert_affine(np.asarray(M, np.float64))
+
+    # native OpenMP fast path for uint8 (the data-loader hot case)
+    if img.dtype == np.uint8:
+        from clean_pvnet_tpu import native
+
+        if interp == "linear" and (img.ndim == 3 or img.ndim == 2):
+            out = native.warp_affine_u8(img, Minv, out_hw, border_value)
+            if out is not None:
+                return out
+        elif interp == "nearest" and img.ndim == 2:
+            out = native.warp_affine_nearest_u8(img, Minv, out_hw, border_value)
+            if out is not None:
+                return out
     xs, ys = np.meshgrid(np.arange(tw, dtype=np.float64),
                          np.arange(th, dtype=np.float64))
     sx = Minv[0, 0] * xs + Minv[0, 1] * ys + Minv[0, 2]
