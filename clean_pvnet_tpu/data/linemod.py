@@ -51,11 +51,19 @@ class LinemodDataset:
         self.img_ids = self.coco.get_img_ids()
         self.rng = np.random.RandomState(seed)
         self.host_vertex = host_vertex
+        # decoded-image cache: pose datasets are small (LINEMOD ≈ 1-2k
+        # frames/class) and epochs are many, so caching decoded rgb+mask
+        # removes PNG decode from the per-epoch path entirely
+        self.cache_images = True
+        self._cache: dict[int, tuple] = {}
 
     def __len__(self) -> int:
         return len(self.img_ids)
 
     def read(self, img_id: int):
+        if self.cache_images and img_id in self._cache:
+            img, kpt_2d, mask, ann = self._cache[img_id]
+            return img, kpt_2d.copy(), mask.copy(), ann
         info = self.coco.load_img(img_id)
         ann = self.coco.load_anns(img_id)[0]
         img = np.asarray(Image.open(info["file_name"]).convert("RGB"))
@@ -63,6 +71,9 @@ class LinemodDataset:
             [np.asarray(ann["fps_2d"]), [np.asarray(ann["center_2d"])]], 0
         ).astype(np.float32)
         mask = read_mask(ann["mask_path"], ann.get("type", "real"))
+        if self.cache_images:
+            self._cache[img_id] = (img, kpt_2d, mask, ann)
+            return img, kpt_2d.copy(), mask.copy(), ann
         return img, kpt_2d, mask, ann
 
     def __getitem__(self, index_hw: tuple[int, int, int]) -> dict[str, Any]:

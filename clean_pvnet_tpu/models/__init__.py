@@ -1,5 +1,9 @@
 from clean_pvnet_tpu.models.pvnet import PVNet, build_pvnet, decode_keypoints  # noqa: F401
 from clean_pvnet_tpu.models.resnet import ResNetStride8  # noqa: F401
+from clean_pvnet_tpu.models.centernet import CenterNet, decode_ct_heatmap  # noqa: F401
+from clean_pvnet_tpu.models.cascade import CascadePipeline  # noqa: F401
+from clean_pvnet_tpu.models.dla import DLASeg  # noqa: F401
+import clean_pvnet_tpu.models.hourglass  # noqa: F401
 from clean_pvnet_tpu.registry import NETWORKS  # noqa: F401
 
 

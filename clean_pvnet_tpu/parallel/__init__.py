@@ -4,3 +4,7 @@ from clean_pvnet_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from clean_pvnet_tpu.parallel.distributed import (  # noqa: F401
+    DistributedSession,
+    init_distributed,
+)

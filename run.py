@@ -117,12 +117,67 @@ def run_visualize(cfg, args):
             break
 
 
+def run_analyze(cfg, args):
+    """Output-statistics inspection (ref run.py:129-150 run_analyze)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clean_pvnet_tpu.analyzers import make_analyzer
+    from train_net import build_eval
+
+    model, state = _load_eval_stack(cfg)
+    loader, pipeline, evaluator = build_eval(cfg, model)
+    analyzer = make_analyzer(cfg)
+    for i, batch in enumerate(loader):
+        K = jnp.asarray(
+            np.stack([np.asarray(m["ann"]["K"], np.float32) for m in batch["meta"]])
+        )
+        out = pipeline(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(batch["inp"]), K, jax.random.PRNGKey(i),
+        )
+        print(analyzer.analyze(out, batch))
+        if i >= 3:
+            break
+
+
+def run_demo(cfg, args):
+    """Pose prediction on raw images without GT (ref run.py demo path +
+    lib/visualizers/linemod/pvnet.py:49-64 visualize_demo)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image as PILImage
+
+    from clean_pvnet_tpu.data.augment import normalize_image
+    from clean_pvnet_tpu.vis.pvnet import draw_keypoints
+
+    model, state = _load_eval_stack(cfg)
+    demo_dir = getattr(args, "demo_path", None) or os.path.join(
+        cfg.data_root, "demo"
+    )
+    names = sorted(os.listdir(demo_dir))[: args.n_vis]
+    from clean_pvnet_tpu.models import decode_keypoints
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    for i, name in enumerate(names):
+        img = np.asarray(PILImage.open(os.path.join(demo_dir, name)).convert("RGB"))
+        inp = jnp.asarray(normalize_image(img)[None])
+        out = fwd({"params": state.params, "batch_stats": state.batch_stats}, inp)
+        dec = decode_keypoints(out["seg"], out["vertex"], jax.random.PRNGKey(i), cfg)
+        vis = draw_keypoints(img, np.asarray(dec["kpt_2d"][0]))
+        path = f"demo_{i:03d}.png"
+        PILImage.fromarray(vis).save(path)
+        print("wrote", path)
+
+
 COMMANDS = {
     "synthetic": run_synthetic,
     "dataset": run_dataset,
     "network": run_network,
     "evaluate": run_evaluate,
     "visualize": run_visualize,
+    "analyze": run_analyze,
+    "demo": run_demo,
 }
 
 
