@@ -25,6 +25,8 @@ def main():
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--un_pnp", action="store_true")
+    parser.add_argument("--float32_input", action="store_true",
+                        help="ship float32 frames instead of uint8")
     args = parser.parse_args()
 
     from clean_pvnet_tpu.config import Config
@@ -43,9 +45,16 @@ def main():
         [[572.4114, 0, 325.2611], [0, 573.57043, 242.04899], [0, 0, 1]],
         np.float32,
     )
-    pipeline = InferencePipeline(cfg, model, kpt_3d, un_pnp=args.un_pnp)
+    pipeline = InferencePipeline(
+        cfg, model, kpt_3d, un_pnp=args.un_pnp,
+        accept_uint8=not args.float32_input,
+    )
 
-    inp = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    if args.float32_input:
+        inp = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    else:
+        # serving configuration: raw uint8 frames, normalize on device
+        inp = jnp.asarray((rng.rand(b, h, w, 3) * 255).astype(np.uint8))
     Kb = jnp.asarray(np.tile(K, (b, 1, 1)))
     key = jax.random.PRNGKey(0)
 

@@ -20,14 +20,25 @@ from clean_pvnet_tpu.geometry.pnp import solve_pnp, solve_pnp_uncertainty
 from clean_pvnet_tpu.models.pvnet import decode_keypoints
 
 
-class InferencePipeline:
-    """network.apply + voting decode + (uncertainty) PnP, one jit."""
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
 
-    def __init__(self, cfg: Config, model, kpt_3d, un_pnp: bool | None = None):
+
+class InferencePipeline:
+    """network.apply + voting decode + (uncertainty) PnP, one jit.
+
+    `accept_uint8=True` moves ImageNet normalization on-device: the host
+    ships raw uint8 frames (4× fewer PCIe/DMA bytes than float32) and the
+    cast+normalize fuses into the first conv — the serving configuration.
+    """
+
+    def __init__(self, cfg: Config, model, kpt_3d, un_pnp: bool | None = None,
+                 accept_uint8: bool = False):
         self.cfg = cfg
         self.model = model
         self.kpt_3d = jnp.asarray(kpt_3d, jnp.float32)
         self.un_pnp = cfg.test.un_pnp if un_pnp is None else un_pnp
+        self.accept_uint8 = accept_uint8
         self._run = jax.jit(self._build())
 
     def _build(self):
@@ -35,8 +46,11 @@ class InferencePipeline:
         un_pnp = self.un_pnp
         kpt_3d = self.kpt_3d
         lm_iters = cfg.pnp.lm_iters
+        accept_uint8 = self.accept_uint8
 
         def run(variables, inp, K, key):
+            if accept_uint8:
+                inp = (inp.astype(jnp.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
             out = self.model.apply(variables, inp, train=False)
             dec = decode_keypoints(out["seg"], out["vertex"], key, cfg, un_pnp=un_pnp)
             if un_pnp:

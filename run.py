@@ -170,8 +170,59 @@ def run_demo(cfg, args):
         print("wrote", path)
 
 
+def run_detector_pvnet(cfg, args):
+    """Detector→PVNet cascade inference over multi-instance scenes
+    (ref run.py:225-244 run_detector_pvnet)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clean_pvnet_tpu.models import make_network
+    from clean_pvnet_tpu.models.cascade import CascadePipeline
+    from clean_pvnet_tpu.train import CheckpointIO, Trainer
+    from clean_pvnet_tpu.parallel import make_mesh
+    from clean_pvnet_tpu.data.detection import DetectionSceneDataset
+    from clean_pvnet_tpu.data.loader import DataLoader
+
+    det_cfg = cfg.with_overrides({"network.name": "dla34", "task": "ct"})
+    pvnet_cfg = cfg.with_overrides({"network.name": "res18", "task": "pvnet"})
+    detector = make_network(det_cfg)
+    pvnet = make_network(pvnet_cfg)
+    mesh = make_mesh(cfg.mesh)
+
+    # load both trained models (ref ct_pvnet/res.py:63-72)
+    det_tr = Trainer(det_cfg, detector, 1, mesh=mesh)
+    det_state = det_tr.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    det_state, _ = CheckpointIO(
+        os.path.join(cfg.model_dir, "ct", cfg.model)
+    ).restore(det_state)
+    pv_tr = Trainer(pvnet_cfg, pvnet, 1, mesh=mesh)
+    pv_state = pv_tr.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    pv_state, _ = CheckpointIO(
+        os.path.join(cfg.model_dir, "pvnet", cfg.model)
+    ).restore(pv_state)
+
+    pipe = CascadePipeline(pvnet_cfg, detector, pvnet)
+    scenes = os.path.join(cfg.data_root, "scenes.json")
+    ds = DetectionSceneDataset(cfg, scenes)
+    loader = DataLoader(ds, 1, shuffle=False, buckets=((256, 320),),
+                        num_workers=1, drop_last=False)
+    for i, batch in enumerate(loader):
+        out = pipe(
+            {"params": det_state.params, "batch_stats": det_state.batch_stats},
+            {"params": pv_state.params, "batch_stats": pv_state.batch_stats},
+            jnp.asarray(batch["inp"]),
+            jax.random.PRNGKey(i),
+        )
+        n = int(np.asarray(out["valid"][0]).sum())
+        print(f"scene {i}: {n} instances, scores",
+              np.asarray(out["scores"][0])[:n])
+        if i >= args.n_vis - 1:
+            break
+
+
 COMMANDS = {
     "synthetic": run_synthetic,
+    "detector_pvnet": run_detector_pvnet,
     "dataset": run_dataset,
     "network": run_network,
     "evaluate": run_evaluate,
