@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--hw", type=int, nargs=2, default=(480, 640))
     ap.add_argument("--root", default="data/synth_tpu")
+    ap.add_argument("--rotate", type=float, default=30.0)
+    ap.add_argument("--resize_jitter", type=float, default=0.2)
     ap.add_argument("--out", default="data/record/synth_tpu_metrics.json")
     args = ap.parse_args()
 
@@ -82,6 +84,10 @@ def main():
                 int(args.epochs * f) for f in (0.5, 0.75, 0.9)
             ),
             "train.num_workers": 2,
+            "train.rotate_min": -args.rotate,
+            "train.rotate_max": args.rotate,
+            "train.resize_ratio_min": 1.0 - args.resize_jitter,
+            "train.resize_ratio_max": 1.0 + args.resize_jitter,
             "voting.max_pixels": 128,
             "voting.num_hypotheses": 128,
         }
