@@ -1,0 +1,51 @@
+import numpy as np
+import jax
+import pytest
+
+from clean_pvnet_tpu.config import Config
+from clean_pvnet_tpu.models import PVNet
+from clean_pvnet_tpu.serving import PoseEstimator
+
+
+class TestPoseEstimator:
+    def test_uint8_predict_shapes(self, rng):
+        cfg = Config().with_overrides(
+            {"voting.max_pixels": 64, "voting.num_hypotheses": 32,
+             "network.use_bfloat16": False}
+        )
+        model = PVNet(ver_dim=18, seg_dim=2, fc_dim=16, s8_dim=8, s4_dim=8,
+                      s2_dim=8, raw_dim=8)
+        variables = model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32),
+            train=False,
+        )
+        K = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]], np.float32)
+        kpt_3d = rng.randn(9, 3).astype(np.float32) * 0.05
+        est = PoseEstimator(cfg, model, variables, kpt_3d, K)
+        est.warmup(2, (64, 64))
+        frames = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+        out = est.predict(frames)
+        assert out["pose"].shape == (2, 3, 4)
+        assert out["kpt_2d"].shape == (2, 9, 2)
+        assert out["mask"].shape == (2, 64, 64)
+        assert np.isfinite(out["pose"]).all()
+
+    def test_async_submit_returns_immediately(self, rng):
+        cfg = Config().with_overrides(
+            {"voting.max_pixels": 64, "voting.num_hypotheses": 32,
+             "network.use_bfloat16": False}
+        )
+        model = PVNet(ver_dim=18, seg_dim=2, fc_dim=16, s8_dim=8, s4_dim=8,
+                      s2_dim=8, raw_dim=8)
+        variables = model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 32, 32, 3), np.float32),
+            train=False,
+        )
+        K = np.eye(3, dtype=np.float32) * 100
+        est = PoseEstimator(cfg, model, variables,
+                            rng.randn(9, 3).astype(np.float32) * 0.05, K)
+        est.warmup(1, (32, 32))
+        handle = est.submit(np.zeros((1, 32, 32, 3), np.uint8))
+        # device arrays, not yet host-transferred
+        assert hasattr(handle["pose"], "devices")
+        jax.block_until_ready(handle["pose"])

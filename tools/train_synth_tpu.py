@@ -136,7 +136,7 @@ def main():
             f"vote {float(stats['vote_loss']):.4f} "
             f"seg {float(stats['seg_loss']):.4f} ({time.time()-te:.0f}s)"
         )
-        if (epoch + 1) % 10 == 0 and epoch + 1 < args.epochs:
+        if (epoch + 1) % 20 == 0 and epoch + 1 < args.epochs:
             run_eval(f"epoch {epoch}")
 
     metrics = run_eval("final")
