@@ -220,8 +220,112 @@ def run_detector_pvnet(cfg, args):
             break
 
 
+def run_custom(cfg, args):
+    """FPS keypoint sampling + COCO conversion for a custom dataset
+    (ref run.py:218-222, tools/handle_custom_dataset.py:19-116)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    from dataset_converters import custom_to_coco, sample_fps_points
+
+    root = os.path.join(cfg.data_root, "custom")
+    fps = sample_fps_points(root)
+    print("fps_3d:\n", fps)
+    out = custom_to_coco(root, cls=cfg.cls_type)
+    print("wrote", out)
+
+
+def run_linemod(cfg, args):
+    """LINEMOD → COCO-style json (ref run.py:169-171, linemod_to_coco.py)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    from dataset_converters import linemod_to_coco
+
+    root = os.path.join(cfg.data_root, "linemod")
+    for split in ("train", "test"):
+        out = linemod_to_coco(
+            root, cfg.cls_type,
+            os.path.join(root, cfg.cls_type, f"{split}.txt"),
+            os.path.join(root, cfg.cls_type, f"{split}.json"),
+        )
+        print("wrote", out)
+
+
+def run_tless(cfg, args):
+    """Generate multi-instance T-LESS-style scenes with per-instance pose
+    annotations — the rasterizer-based stand-in for the reference's Blender
+    render + cut-paste fusion prep (ref run.py:174-190,
+    lib/datasets/tless/handle_rendering_data.py, fuse.py)."""
+    from clean_pvnet_tpu.data.synthetic import generate_multiobject_dataset
+
+    meta = generate_multiobject_dataset(
+        os.path.join(cfg.data_root, "tless_scenes"),
+        num_classes=args.n_classes,
+        n_scenes=args.n_train,
+    )
+    print({k: v for k, v in meta.items() if isinstance(v, (str, int, float))})
+
+
+def run_render(cfg, args):
+    """Render color+depth of the object mesh from a random pose with the
+    z-buffer rasterizer (ref run.py --type render / opengl renderers)."""
+    from PIL import Image as PILImage
+
+    from clean_pvnet_tpu.ops.rasterize import render_mesh_np
+    from clean_pvnet_tpu.utils.ply import load_ply
+    from clean_pvnet_tpu.data.synthetic import LINEMOD_K, random_rotation
+
+    ply_path = os.path.join(cfg.data_root, cfg.cls_type,
+                            f"{cfg.cls_type}.ply")
+    model = load_ply(ply_path)
+    verts, faces = model["pts"], model["faces"]
+    colors = model["colors"]
+    if colors is not None:
+        colors = colors.astype(np.float32) / 255.0
+    rng = np.random.RandomState(0)
+    pose = np.concatenate(
+        [random_rotation(rng), np.array([[0.0], [0.0], [0.5]])], axis=1
+    ).astype(np.float32)
+    color, depth, mask = render_mesh_np(
+        verts, faces, LINEMOD_K, pose, (480, 640), vert_colors=colors
+    )
+    PILImage.fromarray((color * 255).astype(np.uint8)).save("render_color.png")
+    mask = mask.astype(bool)
+    d = depth.copy()
+    if mask.any():
+        d[~mask] = 0
+        d = (d / d.max() * 255).astype(np.uint8)
+    else:
+        d = np.zeros_like(d, np.uint8)
+    PILImage.fromarray(d).save("render_depth.png")
+    print("wrote render_color.png render_depth.png; visible px:",
+          int(mask.sum()))
+
+
+def run_visualize_train(cfg, args):
+    """Render GT training targets to images — the reference's de-facto data
+    pipeline check (ref lib/visualizers/linemod/pvnet.py:66-82)."""
+    from clean_pvnet_tpu.data import make_data_loader
+    from clean_pvnet_tpu.vis import make_visualizer
+
+    ann = os.path.join(cfg.data_root, f"{cfg.cls_type}_train.json")
+    loader = make_data_loader(cfg, is_train=True, ann_file=ann)
+    vis = make_visualizer(cfg)
+    for i, batch in enumerate(loader):
+        path = vis.visualize_train(batch, path=f"train_vis_{i:03d}.png")
+        print("wrote", path)
+        if i >= args.n_vis - 1:
+            break
+
+
 COMMANDS = {
     "synthetic": run_synthetic,
+    "custom": run_custom,
+    "linemod": run_linemod,
+    "tless": run_tless,
+    "render": run_render,
+    "visualize_train": run_visualize_train,
     "detector_pvnet": run_detector_pvnet,
     "dataset": run_dataset,
     "network": run_network,
@@ -239,6 +343,7 @@ def main():
     parser.add_argument("--n_train", type=int, default=200)
     parser.add_argument("--n_test", type=int, default=50)
     parser.add_argument("--n_vis", type=int, default=4)
+    parser.add_argument("--n_classes", type=int, default=3)
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = parser.parse_args()
 
