@@ -32,6 +32,9 @@ def main():
     from clean_pvnet_tpu.config import Config
     from clean_pvnet_tpu.eval import InferencePipeline
     from clean_pvnet_tpu.models import make_network
+    from clean_pvnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = Config()
     model = make_network(cfg)

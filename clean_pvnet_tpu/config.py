@@ -165,6 +165,11 @@ class Config:
     task: str = "pvnet"
     model: str = "pvnet_linemod"  # experiment name → model_dir/<model>
     cls_type: str = "cat"
+    # Force a JAX platform ("cpu" / "tpu" / ""=default). Entry points apply
+    # this via jax.config before first backend use — needed on hosts whose
+    # sitecustomize registers an accelerator plugin unconditionally, where
+    # the JAX_PLATFORMS env var alone is not honored.
+    platform: str = ""
     model_dir: str = "data/model"
     record_dir: str = "data/record"
     result_dir: str = "data/result"

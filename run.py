@@ -348,8 +348,11 @@ def main():
     args = parser.parse_args()
 
     from clean_pvnet_tpu.config import load_config
+    from clean_pvnet_tpu.utils.cache import apply_platform, enable_compilation_cache
 
     cfg = load_config(args.cfg_file, args.opts)
+    apply_platform(cfg.platform)
+    enable_compilation_cache()
     COMMANDS[args.type](cfg, args)
 
 

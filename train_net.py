@@ -16,6 +16,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# NOTE: keep this module's imports jax-"cold": nothing here may create a
+# jax array at import time, so that main() can still force the platform
+# (cfg.platform → apply_platform) before the first backend use.
 from clean_pvnet_tpu.config import load_config
 from clean_pvnet_tpu.data import make_data_loader
 from clean_pvnet_tpu.eval import InferencePipeline, LinemodEvaluator
@@ -73,6 +76,10 @@ def main():
     args = parser.parse_args()
     cfg = load_config(args.cfg_file, args.opts)
 
+    from clean_pvnet_tpu.utils.cache import apply_platform, enable_compilation_cache
+
+    apply_platform(cfg.platform)
+    enable_compilation_cache()
     model = make_network(cfg)
     mesh = make_mesh(cfg.mesh)
     model_dir = os.path.join(cfg.model_dir, cfg.task, cfg.model)
