@@ -46,6 +46,10 @@ class DatasetCatalog:
         "TlessPoseMini": _e("TlessTest", "{data}/tless/obj_pose.json", "{data}/tless/test_primesense", "mini"),
         "TlessPoseTest": _e("TlessTest", "{data}/tless/obj_pose.json", "{data}/tless/test_primesense", "test"),
         "TlessAgTrain": _e("TlessTrain", "{data}/tless/t-less-mix/train.json", "{data}/tless/t-less-mix", "train"),
+
+        # generated multi-object scenes (run.py --type tless) for detector training
+        "DetectionTrain": _e("DetectionTrain", "{data}/tless_scenes/scenes.json", "{data}/tless_scenes", "train"),
+        "DetectionTest": _e("DetectionTest", "{data}/tless_scenes/scenes.json", "{data}/tless_scenes", "test"),
         # YCB (ref :70-75; partial in the reference too)
         "YcbTrain": _e("LinemodTrain", "{data}/ycb/posedb/{cls}_train.json", "{data}/ycb", "train"),
         "YcbTest": _e("LinemodTest", "{data}/ycb/posedb/{cls}_test.json", "{data}/ycb", "test"),

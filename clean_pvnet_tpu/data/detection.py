@@ -78,12 +78,14 @@ class DetectionSceneDataset:
 
 
 @DATASETS.register("TlessTrain")
+@DATASETS.register("DetectionTrain")
 def _tless_train(cfg: Config, ann_file: str, **kw):
     return DetectionSceneDataset(cfg, ann_file, split="train",
                                  num_classes=cfg.network.ct_num_classes, **kw)
 
 
 @DATASETS.register("TlessTest")
+@DATASETS.register("DetectionTest")
 def _tless_test(cfg: Config, ann_file: str, **kw):
     return DetectionSceneDataset(cfg, ann_file, split="test",
                                  num_classes=cfg.network.ct_num_classes, **kw)

@@ -160,3 +160,50 @@ def detection_ap(
         p = precision[recall >= r]
         ap += float(p.max()) if len(p) else 0.0
     return ap / 101.0
+
+
+@EVALUATORS.register("ct")
+class DetectionEvaluator:
+    """Detector-task evaluator: accumulates per-image GT/pred boxes and
+    reports AP@0.5 (counterpart of reference lib/evaluators/tless_test/ct.py
+    evaluate/summarize over the vendored COCOeval)."""
+
+    def __init__(self, cfg: Config, down_ratio: int = 4,
+                 score_thresh: float = 0.1):
+        self.cfg = cfg
+        self.down_ratio = down_ratio
+        self.score_thresh = score_thresh
+        self.reset()
+
+    def reset(self):
+        self.gts: list = []
+        self.preds: list = []
+
+    def evaluate(self, output: dict, batch: dict):
+        """output: decoded detections in output-grid coords
+        ({bboxes [B,K,4], scores, classes}); batch: loader batch whose
+        meta['anns'] carry GT bbox/category_id in input pixels."""
+        bboxes = np.asarray(output["bboxes"], np.float32) * self.down_ratio
+        scores = np.asarray(output["scores"], np.float32)
+        classes = np.asarray(output["classes"], np.int64)
+        for i, meta in enumerate(batch["meta"]):
+            gt = []
+            for ann in meta["anns"]:
+                x, y, w, h = ann["bbox"]
+                gt.append((int(ann["category_id"]) - 1,
+                           np.array([x, y, x + w, y + h], np.float32)))
+            keep = scores[i] >= self.score_thresh
+            pred = [
+                (int(c), float(s), b)
+                for c, s, b in zip(classes[i][keep], scores[i][keep],
+                                   bboxes[i][keep])
+            ]
+            self.gts.append(gt)
+            self.preds.append(pred)
+
+    def summarize(self) -> dict:
+        ap = detection_ap(self.gts, self.preds) if self.gts else 0.0
+        out = {"det_ap50": ap, "n_images": len(self.gts)}
+        print(" ".join(f"{k}: {v}" for k, v in out.items()))
+        self.reset()
+        return out

@@ -127,3 +127,44 @@ class TestCropBilinear:
         img = jnp.ones((8, 8, 1), jnp.float32)
         out = crop_bilinear(img, jnp.asarray([-20.0, -20.0]), jnp.asarray(8.0), 4)
         np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+class TestResnetDcnBackbone:
+    def test_forward_shapes_and_train_step(self):
+        from clean_pvnet_tpu.models import make_network
+        from clean_pvnet_tpu.registry import TRAINERS
+        from clean_pvnet_tpu.train.state import create_train_state
+        from clean_pvnet_tpu.train.optim import make_optimizer
+
+        cfg = Config().with_overrides({
+            "task": "ct",
+            "network.name": "res18_dcn",
+            "network.task": "ct",
+            "network.ct_num_classes": 3,
+            "network.ct_head_conv": 32,
+            "network.use_bfloat16": False,
+        })
+        model = make_network(cfg)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        # stride-4 output grid, same head contract as DLASeg
+        assert out["ct_hm"].shape == (1, 16, 16, 3)
+        assert out["wh"].shape == (1, 16, 16, 2)
+
+        # one ct train step runs and produces finite loss
+        tx = make_optimizer(cfg.train, steps_per_epoch=1)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                   (1, 64, 64, 3))
+        train_step, _ = TRAINERS.build("ct", cfg)
+        hm = np.zeros((1, 16, 16, 3), np.float32)
+        hm[0, 8, 8, 1] = 1.0
+        batch = {
+            "inp": np.zeros((1, 64, 64, 3), np.float32),
+            "ct_hm": hm,
+            "ct_ind": np.array([[8 * 16 + 8]], np.int32),
+            "wh": np.array([[[4.0, 4.0]]], np.float32),
+            "ct_valid": np.ones((1, 1), bool),
+        }
+        state2, stats = jax.jit(train_step)(state, batch)
+        assert np.isfinite(float(stats["loss"]))

@@ -28,16 +28,36 @@ from clean_pvnet_tpu.train import CheckpointIO, Recorder, Trainer
 from clean_pvnet_tpu.utils.ply import load_ply
 
 
-def _strip(batch):
-    return {k: batch[k] for k in ("inp", "mask", "vertex")}
+_TASK_BATCH_KEYS = {
+    "pvnet": ("inp", "mask", "vertex"),
+    "ct": ("inp", "ct_hm", "ct_ind", "wh", "ct_valid"),
+}
+
+
+def _strip(batch, task: str = "pvnet"):
+    return {k: batch[k] for k in _TASK_BATCH_KEYS[task]}
 
 
 def resolve_ann(cfg, is_train: bool) -> str:
+    """Annotation path for the configured dataset: DatasetCatalog template
+    first (ref train path resolution through dataset_catalog.py), falling
+    back to the flat synthetic layout `{data_root}/{cls}_{split}.json`."""
+    from clean_pvnet_tpu.data.catalog import DatasetCatalog
+
+    name = cfg.train.dataset if is_train else cfg.test.dataset
+    try:
+        entry = DatasetCatalog.get(name, cfg.data_root, cfg.cls_type)
+        if os.path.exists(entry.ann_file):
+            return entry.ann_file
+    except KeyError:
+        pass
     split = "train" if is_train else "test"
     return os.path.join(cfg.data_root, f"{cfg.cls_type}_{split}.json")
 
 
 def build_eval(cfg, model):
+    if cfg.task == "ct":
+        return build_eval_ct(cfg, model)
     ann = resolve_ann(cfg, is_train=False)
     loader = make_data_loader(cfg, is_train=False, ann_file=ann)
     first = loader.dataset.coco.load_anns(loader.dataset.img_ids[0])[0]
@@ -53,7 +73,32 @@ def build_eval(cfg, model):
     return loader, pipeline, evaluator
 
 
+def build_eval_ct(cfg, model):
+    """Detector-task eval stack: decode heatmaps → AP@0.5
+    (ref lib/evaluators/tless_test/ct.py)."""
+    from clean_pvnet_tpu.eval.tless import DetectionEvaluator
+    from clean_pvnet_tpu.models.centernet import decode_ct_heatmap
+
+    ann = resolve_ann(cfg, is_train=False)
+    loader = make_data_loader(cfg, is_train=False, ann_file=ann)
+
+    class _DetPipeline:
+        def __call__(self, variables, inp, K=None, key=None):
+            out = model.apply(variables, inp, train=False)
+            return {**out, **decode_ct_heatmap(out["ct_hm"], out["wh"])}
+
+    return loader, _DetPipeline(), DetectionEvaluator(cfg)
+
+
 def run_eval(cfg, model, state, loader, pipeline, evaluator):
+    if cfg.task == "ct":
+        for batch in loader:
+            out = pipeline(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                jnp.asarray(batch["inp"]),
+            )
+            evaluator.evaluate(out, batch)
+        return evaluator.summarize()
     for i, batch in enumerate(loader):
         K = jnp.asarray(
             np.stack([np.asarray(m["ann"]["K"], np.float32) for m in batch["meta"]])
@@ -114,7 +159,7 @@ def main():
     for epoch in range(begin_epoch + 1, cfg.train.epochs):
         state = trainer.run_epoch(
             state,
-            (shard_batch(_strip(b), mesh) for b in train_loader),
+            (shard_batch(_strip(b, cfg.task), mesh) for b in train_loader),
             epoch,
         )
         if (epoch + 1) % cfg.train.save_every_epochs == 0:
