@@ -27,7 +27,7 @@ def _replace_nested(obj: Any, path: Sequence[str], value: Any) -> Any:
         raise KeyError(f"unknown config key {head!r} on {type(obj).__name__}")
     cur = getattr(obj, head)
     new = _replace_nested(cur, rest, value)
-    if rest == () and cur is not None and not isinstance(cur, (dict, list)):
+    if not rest and cur is not None and not isinstance(cur, (dict, list)):
         want = type(cur)
         if isinstance(cur, bool):
             new = bool(new)
@@ -123,6 +123,10 @@ class TrainConfig:
     num_workers: int = 2
     seed: int = 0
     resume: bool = True
+    # samples per epoch for generative datasets (TlessPoseTrain); 0 = the
+    # dataset's natural default (counterpart of the reference's ep_iter,
+    # ref lib/datasets/samplers.py:46-66 IterationBasedBatchSampler)
+    epoch_size: int = 0
     # augmentation (ref lib/config/config.py:60-74)
     rotate_min: float = -30.0
     rotate_max: float = 30.0

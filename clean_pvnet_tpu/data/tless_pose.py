@@ -21,6 +21,7 @@ from PIL import Image
 from clean_pvnet_tpu.config import Config
 from clean_pvnet_tpu.data.augment import normalize_image
 from clean_pvnet_tpu.data.coco import CocoIndex
+from clean_pvnet_tpu.data.tless import rectify_symmetric_rotation
 from clean_pvnet_tpu.registry import DATASETS
 from clean_pvnet_tpu.utils.image import warp_affine
 
@@ -125,3 +126,174 @@ class DetectionPoseDataset:
 @DATASETS.register("TlessPoseTest")
 def _tless_pose_test(cfg: Config, ann_file: str, det_file=None, **kw):
     return DetectionPoseDataset(cfg, ann_file, det_file=det_file, **kw)
+
+
+class TlessPoseTrainDataset:
+    """Per-object T-LESS-style training crops, composed on the fly.
+
+    Behavioral counterpart of reference lib/datasets/tless_train/pvnet.py:
+    33-125: the target object is rendered at a random pose, cut-pasted onto
+    a random background together with distractor objects from other classes,
+    rejected when too occluded, then emitted as a fixed-size crop with mask
+    + keypoint (vertex) targets. Instead of pre-rendered Blender crops the
+    sprites come from the z-buffer rasterizer at sample time.
+    """
+
+    def __init__(self, cfg: Config, ann_file: str, seed: int = 0,
+                 crop_size: int = 128, min_visible: float = 0.4,
+                 max_distractors: int = 2, host_vertex: bool = True,
+                 symmetric: bool = False):
+        import os
+
+        from clean_pvnet_tpu.utils.ply import load_ply
+
+        self.cfg = cfg
+        self.crop_size = crop_size
+        self.min_visible = min_visible
+        self.max_distractors = max_distractors
+        self.host_vertex = host_vertex
+        self.symmetric = symmetric
+        self.rng = np.random.RandomState(seed)
+
+        root = os.path.dirname(os.path.abspath(ann_file))
+        cls = str(cfg.cls_type)
+        if not cls.startswith("obj_"):
+            cls = f"obj_{int(cls):02d}" if cls.isdigit() else cls
+        self.classes = sorted(
+            d for d in os.listdir(root)
+            if d.startswith("obj_") and
+            os.path.isdir(os.path.join(root, d))
+        )
+        if cls not in self.classes:
+            raise FileNotFoundError(
+                f"class dir {cls!r} not under {root}; have {self.classes}"
+            )
+        self.meshes = {}
+        for c in self.classes:
+            ply = load_ply(os.path.join(root, c, f"{c}.ply"))
+            colors = ply["colors"]
+            if colors is not None:
+                colors = colors.astype(np.float32) / 255.0
+            self.meshes[c] = (ply["pts"].astype(np.float32),
+                              ply["faces"], colors)
+        self.cls = cls
+        verts = self.meshes[cls][0]
+        from clean_pvnet_tpu.geometry.fps import farthest_point_sampling_np
+
+        self.fps_3d = farthest_point_sampling_np(verts, 8, init_center=True)
+        self.center_3d = (verts.max(0) + verts.min(0)) / 2.0
+        s = crop_size
+        self.K = np.array(
+            [[572.4114 * s / 640.0, 0, s / 2.0],
+             [0, 573.57043 * s / 480.0, s / 2.0],
+             [0, 0, 1.0]], np.float32,
+        )
+        # nominal epoch length (sampling is generative; cfg.train.epoch_size
+        # overrides, mirroring the reference's ep_iter)
+        self._len = cfg.train.epoch_size or 500
+
+    def __len__(self) -> int:
+        return self._len
+
+    def _random_pose(self, z_range=(0.35, 0.6), jitter=0.03):
+        from clean_pvnet_tpu.data.synthetic import random_rotation
+
+        R = random_rotation(self.rng)
+        if self.symmetric:
+            pose = rectify_symmetric_rotation(
+                np.concatenate([R, np.zeros((3, 1))], 1)
+            )
+            R = pose[:, :3]
+        t = np.array([
+            self.rng.uniform(-jitter, jitter),
+            self.rng.uniform(-jitter, jitter),
+            self.rng.uniform(*z_range),
+        ])
+        return np.concatenate([R, t[:, None]], 1).astype(np.float32)
+
+    def __getitem__(self, index_hw) -> dict[str, Any]:
+        from clean_pvnet_tpu.data.augment import photometric_train
+        from clean_pvnet_tpu.data.synthetic import _background
+        from clean_pvnet_tpu.data.tless import paste_sprite, visible_ratio
+        from clean_pvnet_tpu.geometry.vertex import compute_vertex_field_np
+        from clean_pvnet_tpu.ops.rasterize import render_mesh_np
+
+        if isinstance(index_hw, tuple):
+            _, height, width = index_hw
+        else:
+            height = width = self.crop_size
+        s = self.crop_size
+        verts, faces, colors = self.meshes[self.cls]
+
+        for _ in range(8):  # occlusion-rejection retries (ref :85-99)
+            pose = self._random_pose()
+            color, _, m = render_mesh_np(verts, faces, self.K, pose, (s, s),
+                                         vert_colors=colors)
+            full_area = int((m > 0).sum())
+            if full_area < 64:
+                continue
+            scene = _background(self.rng, s, s).astype(np.float32) / 255.0
+            seg = np.zeros((s, s), np.int32)
+            paste_sprite(scene, seg, color, m, (0, 0), 1)
+
+            n_dis = self.rng.randint(0, self.max_distractors + 1)
+            others = [c for c in self.classes if c != self.cls] or [self.cls]
+            for d in range(n_dis):
+                dc = others[self.rng.randint(len(others))]
+                dv, df, dcol = self.meshes[dc]
+                dpose = self._random_pose(z_range=(0.3, 0.5))
+                dimg, _, dm = render_mesh_np(dv, df, self.K, dpose, (s, s),
+                                             vert_colors=dcol)
+                off = (self.rng.randint(-s // 2, s // 2),
+                       self.rng.randint(-s // 2, s // 2))
+                paste_sprite(scene, seg, dimg, dm, off, 2 + d)
+            if visible_ratio(seg, 1, full_area) >= self.min_visible:
+                break
+        else:
+            # fall back to the unoccluded render
+            scene = _background(self.rng, s, s).astype(np.float32) / 255.0
+            seg = np.zeros((s, s), np.int32)
+            paste_sprite(scene, seg, color, m, (0, 0), 1)
+
+        img = (scene * 255.0).clip(0, 255).astype(np.uint8)
+        img = photometric_train(img, self.rng)
+        mask = (seg == 1).astype(np.int32)
+
+        kpt_3d = np.concatenate([self.fps_3d, [self.center_3d]], 0)
+        cam = kpt_3d @ pose[:, :3].T + pose[:, 3]
+        pix = cam @ self.K.T
+        kpt_2d = (pix[:, :2] / pix[:, 2:]).astype(np.float32)
+
+        if (height, width) != (s, s):  # pad to the requested bucket
+            canvas = np.zeros((height, width, 3), img.dtype)
+            mcan = np.zeros((height, width), np.int32)
+            canvas[:min(s, height), :min(s, width)] = (
+                img[:min(s, height), :min(s, width)]
+            )
+            mcan[:min(s, height), :min(s, width)] = (
+                mask[:min(s, height), :min(s, width)]
+            )
+            img, mask = canvas, mcan
+
+        out = {
+            "inp": normalize_image(img),
+            "mask": mask,
+            "kpt_2d": kpt_2d,
+            "img_id": 0,
+            "meta": {
+                "ann": {
+                    "pose": pose.tolist(),
+                    "K": self.K.tolist(),
+                    "fps_3d": self.fps_3d.tolist(),
+                    "center_3d": self.center_3d.tolist(),
+                }
+            },
+        }
+        if self.host_vertex:
+            out["vertex"] = compute_vertex_field_np(mask, kpt_2d)
+        return out
+
+
+@DATASETS.register("TlessPoseTrain")
+def _tless_pose_train(cfg: Config, ann_file: str, **kw):
+    return TlessPoseTrainDataset(cfg, ann_file, **kw)

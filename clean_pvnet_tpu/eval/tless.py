@@ -207,3 +207,52 @@ class DetectionEvaluator:
         print(" ".join(f"{k}: {v}" for k, v in out.items()))
         self.reset()
         return out
+
+
+class TlessPoseEvalDriver:
+    """Batch-level adapter for the two-stage pose eval: accumulates
+    per-detection poses across loader batches, then matches them to GT
+    instances per image (reference defers VSD the same way,
+    ref tless_test/pvnet.py:258-278).
+
+    Used with DetectionPoseDataset batches: each sample is one detection
+    crop; `evaluate` records the predicted pose, `summarize` groups by
+    image and runs TlessEvaluator.evaluate_scene.
+    """
+
+    def __init__(self, cfg: Config, evaluator: TlessEvaluator, coco,
+                 cls_filter: int | None = None):
+        """cls_filter: evaluate only this class index (per-object runs, the
+        reference's one-config-per-object flow)."""
+        self.cfg = cfg
+        self.evaluator = evaluator
+        self.coco = coco
+        self.cls_filter = cls_filter
+        self.preds_by_img: dict = {}
+
+    def evaluate(self, output: dict, batch: dict):
+        poses = np.asarray(output["pose"], np.float32)
+        for i, meta in enumerate(batch["meta"]):
+            self.preds_by_img.setdefault(int(batch["img_id"][i]), []).append(
+                {
+                    "cls": int(meta["cls"]),
+                    "pose": poses[i],
+                    "score": float(meta["score"]),
+                }
+            )
+
+    def summarize(self) -> dict:
+        for img_id in self.coco.get_img_ids():
+            gt = [
+                {
+                    "cls": int(a["category_id"]) - 1,
+                    "pose": np.asarray(a["pose"], np.float32),
+                    "K": np.asarray(a["K"], np.float32),
+                }
+                for a in self.coco.load_anns(img_id)
+                if self.cls_filter is None
+                or int(a["category_id"]) - 1 == self.cls_filter
+            ]
+            self.evaluator.evaluate_scene(gt, self.preds_by_img.get(img_id, []))
+        self.preds_by_img = {}
+        return self.evaluator.summarize()

@@ -28,6 +28,7 @@ from clean_pvnet_tpu.eval import InferencePipeline, LinemodEvaluator
 from clean_pvnet_tpu.models import make_network
 from clean_pvnet_tpu.parallel import make_mesh, shard_batch
 from clean_pvnet_tpu.train import Trainer
+from clean_pvnet_tpu.utils.cache import enable_compilation_cache
 from clean_pvnet_tpu.utils.ply import load_ply
 
 
@@ -43,6 +44,7 @@ def main():
     ap.add_argument("--resize_jitter", type=float, default=0.2)
     ap.add_argument("--out", default="data/record/synth_tpu_metrics.json")
     args = ap.parse_args()
+    enable_compilation_cache()
 
     hw = tuple(args.hw)
     meta_path = os.path.join(args.root, "meta.json")

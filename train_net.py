@@ -51,6 +51,10 @@ def resolve_ann(cfg, is_train: bool) -> str:
             return entry.ann_file
     except KeyError:
         pass
+    scenes = os.path.join(cfg.data_root, "tless_scenes", "scenes.json")
+    if (name.startswith(("Tless", "Detection"))
+            and os.path.exists(scenes)):
+        return scenes
     split = "train" if is_train else "test"
     return os.path.join(cfg.data_root, f"{cfg.cls_type}_{split}.json")
 
@@ -58,6 +62,8 @@ def resolve_ann(cfg, is_train: bool) -> str:
 def build_eval(cfg, model):
     if cfg.task == "ct":
         return build_eval_ct(cfg, model)
+    if cfg.test.dataset.startswith("TlessPose"):
+        return build_eval_tless_pose(cfg, model)
     ann = resolve_ann(cfg, is_train=False)
     loader = make_data_loader(cfg, is_train=False, ann_file=ann)
     first = loader.dataset.coco.load_anns(loader.dataset.img_ids[0])[0]
@@ -71,6 +77,81 @@ def build_eval(cfg, model):
     pipeline = InferencePipeline(cfg, model, kpt_3d)
     evaluator = LinemodEvaluator(cfg, mesh_ply["pts"], diameter)
     return loader, pipeline, evaluator
+
+
+def build_eval_tless_pose(cfg, model):
+    """Two-stage multi-instance pose eval: detection crops → PVNet → PnP in
+    crop frame (crop K = A·K for the similarity crop A, so the recovered
+    pose is directly in the camera frame) → match to GT per image
+    (ref lib/evaluators/tless_test/pvnet.py, lib/datasets/tless_test/pvnet.py)."""
+    from clean_pvnet_tpu.data.loader import DataLoader
+    from clean_pvnet_tpu.data.tless_pose import (
+        DetectionPoseDataset,
+        crop_transform,
+    )
+    from clean_pvnet_tpu.eval.tless import TlessEvaluator, TlessPoseEvalDriver
+
+    ann = resolve_ann(cfg, is_train=False)
+    det_file = os.path.join(cfg.result_dir, "detections.json")
+    ds = DetectionPoseDataset(
+        cfg, ann, det_file=det_file if os.path.exists(det_file) else None
+    )
+    # per-object run: keep only this class's detections (ref per-object
+    # tless_XX configs; category name obj_XX ↔ cls_type "XX")
+    cls_filter = None
+    want = cfg.cls_type if cfg.cls_type.startswith("obj_") else (
+        f"obj_{int(cfg.cls_type):02d}" if cfg.cls_type.isdigit() else None
+    )
+    if want is not None:
+        for cat in ds.coco.categories:
+            if cat["name"] == want:
+                cls_filter = int(cat["id"]) - 1
+                break
+    if cls_filter is not None:
+        ds.index = [e for e in ds.index if e["cls"] == cls_filter]
+    s = ds.crop_size
+    loader = DataLoader(ds, cfg.test.batch_size, shuffle=False,
+                        buckets=((s, s),), num_workers=cfg.train.num_workers,
+                        drop_last=False)
+
+    # per-class model points/diameters from the asset dirs next to the json
+    root = os.path.dirname(os.path.abspath(ann))
+    class_dirs = sorted(
+        d for d in os.listdir(root)
+        if d.startswith("obj_") and os.path.isdir(os.path.join(root, d))
+    )
+    class_models = []
+    for d in class_dirs:
+        ply = load_ply(os.path.join(root, d, f"{d}.ply"))
+        pts = ply["pts"]
+        sub = pts[:: max(1, len(pts) // 1000)]
+        diameter = float(
+            np.sqrt(((sub[:, None] - sub[None]) ** 2).sum(-1).max())
+        )
+        class_models.append({"pts": pts, "diameter": diameter})
+
+    first_ann = ds.coco.load_anns(ds.coco.get_img_ids()[0])[0]
+    kpt_3d = np.concatenate(
+        [np.asarray(first_ann["fps_3d"]), [np.asarray(first_ann["center_3d"])]], 0
+    )
+    pipeline = InferencePipeline(cfg, model, kpt_3d)
+    info = ds.coco.load_img(ds.coco.get_img_ids()[0])
+    hw = (info.get("height", 480), info.get("width", 640))
+    evaluator = TlessEvaluator(cfg, class_models, hw)
+    driver = TlessPoseEvalDriver(cfg, evaluator, ds.coco,
+                                 cls_filter=cls_filter)
+
+    def crop_K(meta):
+        M = crop_transform(meta["crop_center"], meta["crop_size"], s)
+        A = np.array([[M[0, 0], 0, M[0, 2]], [0, M[1, 1], M[1, 2]], [0, 0, 1]])
+        K = np.asarray(
+            meta["ann"]["K"] if meta["ann"] is not None
+            else first_ann["K"], np.float64,
+        )
+        return (A @ K).astype(np.float32)
+
+    driver.crop_K = crop_K
+    return loader, pipeline, driver
 
 
 def build_eval_ct(cfg, model):
@@ -99,10 +180,16 @@ def run_eval(cfg, model, state, loader, pipeline, evaluator):
             )
             evaluator.evaluate(out, batch)
         return evaluator.summarize()
+    crop_K = getattr(evaluator, "crop_K", None)
     for i, batch in enumerate(loader):
-        K = jnp.asarray(
-            np.stack([np.asarray(m["ann"]["K"], np.float32) for m in batch["meta"]])
-        )
+        if crop_K is not None:
+            K = jnp.asarray(np.stack([crop_K(m) for m in batch["meta"]]))
+        else:
+            K = jnp.asarray(
+                np.stack(
+                    [np.asarray(m["ann"]["K"], np.float32) for m in batch["meta"]]
+                )
+            )
         out = pipeline(
             {"params": state.params, "batch_stats": state.batch_stats},
             jnp.asarray(batch["inp"]),
