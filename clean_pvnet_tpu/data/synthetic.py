@@ -270,9 +270,9 @@ def generate_multiobject_dataset(
         verts, faces, colors = make_synthetic_mesh(seed=100 + c, radius=0.05)
         fps_3d = farthest_point_sampling_np(verts, 8, init_center=True)
         center_3d = (verts.max(0) + verts.min(0)) / 2.0
-        cls_dir = os.path.join(root, f"obj_{c:02d}")
+        cls_dir = os.path.join(root, f"obj_{c + 1:02d}")
         os.makedirs(cls_dir, exist_ok=True)
-        save_ply(os.path.join(cls_dir, f"obj_{c:02d}.ply"), verts, faces,
+        save_ply(os.path.join(cls_dir, f"obj_{c + 1:02d}.ply"), verts, faces,
                  (colors * 255).astype(np.uint8))
         d2 = ((verts[:, None] - verts[None]) ** 2).sum(-1)
         classes.append(
@@ -340,7 +340,7 @@ def generate_multiobject_dataset(
                              float(ys.max() - ys.min())],
                     "mask_path": mask_path,
                     "type": "fuse",
-                    "cls": f"obj_{c:02d}",
+                    "cls": f"obj_{c + 1:02d}",
                     "pose": rt.tolist(),
                     "K": K.tolist(),
                     "fps_3d": cl["fps_3d"].tolist(),
@@ -355,7 +355,7 @@ def generate_multiobject_dataset(
         "images": images,
         "annotations": annotations,
         "categories": [
-            {"supercategory": "none", "id": c + 1, "name": f"obj_{c:02d}"}
+            {"supercategory": "none", "id": c + 1, "name": f"obj_{c + 1:02d}"}
             for c in range(num_classes)
         ],
     }

@@ -153,7 +153,9 @@ class TlessPoseTrainDataset:
         self.max_distractors = max_distractors
         self.host_vertex = host_vertex
         self.symmetric = symmetric
-        self.rng = np.random.RandomState(seed)
+        # per-sample rng derived from (seed, index) in __getitem__ — a shared
+        # RandomState would make samples depend on loader-thread interleaving
+        self.seed = seed
 
         root = os.path.dirname(os.path.abspath(ann_file))
         cls = str(cfg.cls_type)
@@ -195,19 +197,19 @@ class TlessPoseTrainDataset:
     def __len__(self) -> int:
         return self._len
 
-    def _random_pose(self, z_range=(0.35, 0.6), jitter=0.03):
+    def _random_pose(self, rng, z_range=(0.35, 0.6), jitter=0.03):
         from clean_pvnet_tpu.data.synthetic import random_rotation
 
-        R = random_rotation(self.rng)
+        R = random_rotation(rng)
         if self.symmetric:
             pose = rectify_symmetric_rotation(
                 np.concatenate([R, np.zeros((3, 1))], 1)
             )
             R = pose[:, :3]
         t = np.array([
-            self.rng.uniform(-jitter, jitter),
-            self.rng.uniform(-jitter, jitter),
-            self.rng.uniform(*z_range),
+            rng.uniform(-jitter, jitter),
+            rng.uniform(-jitter, jitter),
+            rng.uniform(*z_range),
         ])
         return np.concatenate([R, t[:, None]], 1).astype(np.float32)
 
@@ -219,44 +221,47 @@ class TlessPoseTrainDataset:
         from clean_pvnet_tpu.ops.rasterize import render_mesh_np
 
         if isinstance(index_hw, tuple):
-            _, height, width = index_hw
+            index, height, width = index_hw
         else:
-            height = width = self.crop_size
+            index, height, width = index_hw, self.crop_size, self.crop_size
+        rng = np.random.RandomState(
+            (self.seed * 1000003 + int(index)) % (2**31 - 1)
+        )
         s = self.crop_size
         verts, faces, colors = self.meshes[self.cls]
 
         for _ in range(8):  # occlusion-rejection retries (ref :85-99)
-            pose = self._random_pose()
+            pose = self._random_pose(rng)
             color, _, m = render_mesh_np(verts, faces, self.K, pose, (s, s),
                                          vert_colors=colors)
             full_area = int((m > 0).sum())
             if full_area < 64:
                 continue
-            scene = _background(self.rng, s, s).astype(np.float32) / 255.0
+            scene = _background(rng, s, s).astype(np.float32) / 255.0
             seg = np.zeros((s, s), np.int32)
             paste_sprite(scene, seg, color, m, (0, 0), 1)
 
-            n_dis = self.rng.randint(0, self.max_distractors + 1)
+            n_dis = rng.randint(0, self.max_distractors + 1)
             others = [c for c in self.classes if c != self.cls] or [self.cls]
             for d in range(n_dis):
-                dc = others[self.rng.randint(len(others))]
+                dc = others[rng.randint(len(others))]
                 dv, df, dcol = self.meshes[dc]
-                dpose = self._random_pose(z_range=(0.3, 0.5))
+                dpose = self._random_pose(rng, z_range=(0.3, 0.5))
                 dimg, _, dm = render_mesh_np(dv, df, self.K, dpose, (s, s),
                                              vert_colors=dcol)
-                off = (self.rng.randint(-s // 2, s // 2),
-                       self.rng.randint(-s // 2, s // 2))
+                off = (rng.randint(-s // 2, s // 2),
+                       rng.randint(-s // 2, s // 2))
                 paste_sprite(scene, seg, dimg, dm, off, 2 + d)
             if visible_ratio(seg, 1, full_area) >= self.min_visible:
                 break
         else:
             # fall back to the unoccluded render
-            scene = _background(self.rng, s, s).astype(np.float32) / 255.0
+            scene = _background(rng, s, s).astype(np.float32) / 255.0
             seg = np.zeros((s, s), np.int32)
             paste_sprite(scene, seg, color, m, (0, 0), 1)
 
         img = (scene * 255.0).clip(0, 255).astype(np.uint8)
-        img = photometric_train(img, self.rng)
+        img = photometric_train(img, rng)
         mask = (seg == 1).astype(np.int32)
 
         kpt_3d = np.concatenate([self.fps_3d, [self.center_3d]], 0)

@@ -67,3 +67,25 @@ def mask_iou(mask_pred, mask_gt):
     inter = jnp.sum(p & g, axis=(-2, -1))
     union = jnp.sum(p | g, axis=(-2, -1))
     return inter / jnp.maximum(union, 1)
+
+
+def mesh_diameter(pts) -> float:
+    """Exact model diameter (max pairwise distance), hull-accelerated.
+
+    The diameter's endpoints lie on the convex hull, so the O(N²) pairwise
+    max only runs over hull vertices — exact for real meshes (T-LESS models
+    are 10-30k points) where a subsample would understate the ADD(-S)
+    threshold (ref lib/utils/linemod/linemod_config.py diameters are exact).
+    """
+    import numpy as np
+
+    pts = np.asarray(pts, np.float64)
+    if len(pts) > 64:
+        try:
+            from scipy.spatial import ConvexHull
+
+            pts = pts[ConvexHull(pts).vertices]
+        except Exception:
+            pass  # degenerate/coplanar cloud: fall through to full pairwise
+    d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    return float(np.sqrt(d2.max()))

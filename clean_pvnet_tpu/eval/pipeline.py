@@ -14,19 +14,21 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from clean_pvnet_tpu.config import Config
 from clean_pvnet_tpu.geometry.pnp import solve_pnp, solve_pnp_uncertainty
 from clean_pvnet_tpu.models.pvnet import decode_keypoints
 
 
-# numpy on purpose: module-level jnp arrays would allocate on the default
-# accelerator at import time (pinning backend choice before entry points can
-# call apply_platform, and forcing a device fetch when jit embeds them as
-# constants); numpy constants lower into the program without either.
-IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+# numpy on purpose (shared with the host pipeline): module-level jnp arrays
+# would allocate on the default accelerator at import time (pinning backend
+# choice before entry points can call apply_platform, and forcing a device
+# fetch when jit embeds them as constants); numpy constants lower into the
+# program without either.
+from clean_pvnet_tpu.data.augment import (  # noqa: E402
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
 
 
 class InferencePipeline:

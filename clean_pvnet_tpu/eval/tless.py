@@ -221,13 +221,16 @@ class TlessPoseEvalDriver:
     """
 
     def __init__(self, cfg: Config, evaluator: TlessEvaluator, coco,
-                 cls_filter: int | None = None):
+                 cls_filter: int | None = None, crop_K=None):
         """cls_filter: evaluate only this class index (per-object runs, the
-        reference's one-config-per-object flow)."""
+        reference's one-config-per-object flow). crop_K(meta) -> [3,3]:
+        per-detection intrinsics in the crop frame, consumed by the eval
+        loop to feed the PnP stage."""
         self.cfg = cfg
         self.evaluator = evaluator
         self.coco = coco
         self.cls_filter = cls_filter
+        self.crop_K = crop_K
         self.preds_by_img: dict = {}
 
     def evaluate(self, output: dict, batch: dict):

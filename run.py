@@ -35,10 +35,11 @@ def run_synthetic(cfg, args):
 def run_dataset(cfg, args):
     """Iterate the train loader (smoke test, ref run.py:22-29)."""
     from clean_pvnet_tpu.data import make_data_loader
+    from train_net import resolve_ann
     import tqdm  # type: ignore
 
-    ann = os.path.join(cfg.data_root, f"{cfg.cls_type}_train.json")
-    loader = make_data_loader(cfg, is_train=True, ann_file=ann)
+    loader = make_data_loader(cfg, is_train=True,
+                              ann_file=resolve_ann(cfg, is_train=True))
     for _ in tqdm.tqdm(loader):
         pass
 
@@ -308,9 +309,10 @@ def run_visualize_train(cfg, args):
     pipeline check (ref lib/visualizers/linemod/pvnet.py:66-82)."""
     from clean_pvnet_tpu.data import make_data_loader
     from clean_pvnet_tpu.vis import make_visualizer
+    from train_net import resolve_ann
 
-    ann = os.path.join(cfg.data_root, f"{cfg.cls_type}_train.json")
-    loader = make_data_loader(cfg, is_train=True, ann_file=ann)
+    loader = make_data_loader(cfg, is_train=True,
+                              ann_file=resolve_ann(cfg, is_train=True))
     vis = make_visualizer(cfg)
     for i, batch in enumerate(loader):
         path = vis.visualize_train(batch, path=f"train_vis_{i:03d}.png")

@@ -27,7 +27,7 @@ from clean_pvnet_tpu.data.synthetic import generate_synthetic_dataset
 from clean_pvnet_tpu.eval import InferencePipeline, LinemodEvaluator
 from clean_pvnet_tpu.models import make_network
 from clean_pvnet_tpu.parallel import make_mesh, shard_batch
-from clean_pvnet_tpu.train import Trainer
+from clean_pvnet_tpu.train import CheckpointIO, Trainer
 from clean_pvnet_tpu.utils.cache import enable_compilation_cache
 from clean_pvnet_tpu.utils.ply import load_ply
 
@@ -113,6 +113,7 @@ def main():
                              num_workers=2, drop_last=False)
 
     def run_eval(tag):
+        kpt_err = []
         for i, batch in enumerate(test_loader):
             K = jnp.asarray(
                 np.stack([np.asarray(m["ann"]["K"], np.float32)
@@ -123,12 +124,29 @@ def main():
                 jnp.asarray(batch["inp"]), K, jax.random.PRNGKey(i),
             )
             evaluator.evaluate(out, batch)
+            # convergence diagnostic: voted-keypoint pixel error vs GT
+            pred = np.asarray(out["kpt_2d"])
+            for j, meta in enumerate(batch["meta"]):
+                ann = meta["ann"]
+                gt = np.concatenate(
+                    [np.asarray(ann["fps_2d"]), [np.asarray(ann["center_2d"])]], 0
+                )
+                kpt_err.append(
+                    float(np.linalg.norm(pred[j] - gt, axis=-1).mean())
+                )
         m = evaluator.summarize()
+        m["kpt_px_err"] = float(np.median(kpt_err)) if kpt_err else -1.0
         print(f"[{tag}]", m)
         return m
 
+    ckpt = CheckpointIO(os.path.join(args.root, "ckpt"))
+    begin_epoch = -1
+    state, begin_epoch = ckpt.restore(state)
+    if begin_epoch >= 0:
+        print(f"resumed from epoch {begin_epoch}")
+
     t0 = time.time()
-    for epoch in range(args.epochs):
+    for epoch in range(begin_epoch + 1, args.epochs):
         te = time.time()
         for batch in loader:
             b = {k: batch[k] for k in ("inp", "mask", "kpt_2d")}
@@ -138,8 +156,10 @@ def main():
             f"vote {float(stats['vote_loss']):.4f} "
             f"seg {float(stats['seg_loss']):.4f} ({time.time()-te:.0f}s)"
         )
-        if (epoch + 1) % 20 == 0 and epoch + 1 < args.epochs:
-            run_eval(f"epoch {epoch}")
+        if (epoch + 1) % 20 == 0:
+            ckpt.save(state, epoch)
+            if epoch + 1 < args.epochs:
+                run_eval(f"epoch {epoch}")
 
     metrics = run_eval("final")
     metrics["train_minutes"] = (time.time() - t0) / 60

@@ -120,27 +120,34 @@ def build_eval_tless_pose(cfg, model):
         d for d in os.listdir(root)
         if d.startswith("obj_") and os.path.isdir(os.path.join(root, d))
     )
+    from clean_pvnet_tpu.eval.metrics import mesh_diameter
+
     class_models = []
     for d in class_dirs:
         ply = load_ply(os.path.join(root, d, f"{d}.ply"))
         pts = ply["pts"]
-        sub = pts[:: max(1, len(pts) // 1000)]
-        diameter = float(
-            np.sqrt(((sub[:, None] - sub[None]) ** 2).sum(-1).max())
-        )
-        class_models.append({"pts": pts, "diameter": diameter})
+        class_models.append({"pts": pts, "diameter": mesh_diameter(pts)})
 
-    first_ann = ds.coco.load_anns(ds.coco.get_img_ids()[0])[0]
+    # kpt_3d must come from the evaluated class, not whichever annotation
+    # happens to be first in the json
+    first_ann = None
+    for img_id in ds.coco.get_img_ids():
+        for a in ds.coco.load_anns(img_id):
+            if cls_filter is None or int(a["category_id"]) - 1 == cls_filter:
+                first_ann = a
+                break
+        if first_ann is not None:
+            break
+    if first_ann is None:
+        raise ValueError(
+            f"no annotations for class filter {cls_filter} in {ann}"
+        )
     kpt_3d = np.concatenate(
         [np.asarray(first_ann["fps_3d"]), [np.asarray(first_ann["center_3d"])]], 0
     )
     pipeline = InferencePipeline(cfg, model, kpt_3d)
     info = ds.coco.load_img(ds.coco.get_img_ids()[0])
     hw = (info.get("height", 480), info.get("width", 640))
-    evaluator = TlessEvaluator(cfg, class_models, hw)
-    driver = TlessPoseEvalDriver(cfg, evaluator, ds.coco,
-                                 cls_filter=cls_filter)
-
     def crop_K(meta):
         M = crop_transform(meta["crop_center"], meta["crop_size"], s)
         A = np.array([[M[0, 0], 0, M[0, 2]], [0, M[1, 1], M[1, 2]], [0, 0, 1]])
@@ -150,7 +157,9 @@ def build_eval_tless_pose(cfg, model):
         )
         return (A @ K).astype(np.float32)
 
-    driver.crop_K = crop_K
+    evaluator = TlessEvaluator(cfg, class_models, hw)
+    driver = TlessPoseEvalDriver(cfg, evaluator, ds.coco,
+                                 cls_filter=cls_filter, crop_K=crop_K)
     return loader, pipeline, driver
 
 
@@ -163,12 +172,13 @@ def build_eval_ct(cfg, model):
     ann = resolve_ann(cfg, is_train=False)
     loader = make_data_loader(cfg, is_train=False, ann_file=ann)
 
-    class _DetPipeline:
-        def __call__(self, variables, inp, K=None, key=None):
-            out = model.apply(variables, inp, train=False)
-            return {**out, **decode_ct_heatmap(out["ct_hm"], out["wh"])}
+    @jax.jit
+    def _det_pipeline(variables, inp):
+        out = model.apply(variables, inp, train=False)
+        return {**out, **decode_ct_heatmap(out["ct_hm"], out["wh"])}
 
-    return loader, _DetPipeline(), DetectionEvaluator(cfg)
+    return loader, lambda v, inp, K=None, key=None: _det_pipeline(v, inp), \
+        DetectionEvaluator(cfg)
 
 
 def run_eval(cfg, model, state, loader, pipeline, evaluator):
