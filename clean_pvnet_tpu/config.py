@@ -136,6 +136,11 @@ class TrainConfig:
     # static train shapes: multiscale buckets replacing ImageSizeBatchSampler
     # (ref lib/datasets/samplers.py:9-43); each (h, w) compiles once.
     image_buckets: tuple = ((256, 344), (384, 512), (480, 640))
+    # optional torch `.pth` to initialize from: a torchvision ImageNet
+    # resnet18 state dict (backbone-only, the reference's pretrained init,
+    # ref lib/networks/pvnet/resnet.py:223-232) or a full reference PVNet
+    # checkpoint (detected by its resnet18_8s.* keys)
+    torch_pretrain: str = ""
 
 
 @dataclass(frozen=True)

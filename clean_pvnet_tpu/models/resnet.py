@@ -105,7 +105,10 @@ class ResNetStride8(nn.Module):
         plan = [(64, 1, 1), (128, 2, 1), (256, 1, 2), (512, 1, 4)]
         feats = []
         for (f, s, d), n_blocks in zip(plan, self.stage_sizes):
-            y = block(features=f, stride=s, dilation=d, downsample=True)(y, train)
+            # projection shortcut only when shape changes (ref resnet.py:168-189;
+            # stage 1 of ResNet-18 keeps the identity residual)
+            need_proj = s != 1 or y.shape[-1] != f
+            y = block(features=f, stride=s, dilation=d, downsample=need_proj)(y, train)
             for _ in range(n_blocks - 1):
                 y = block(features=f, dilation=d)(y, train)
             feats.append(y)

@@ -321,6 +321,32 @@ def run_visualize_train(cfg, args):
             break
 
 
+def run_import_torch(cfg, args):
+    """Convert a reference torch checkpoint (`<epoch>.pth`) into a framework
+    checkpoint so `--type evaluate` / `train_net.py --test` can use it:
+    reference users bring their trained PVNet along (ref net_utils.py:306-324
+    weights-only loading is the counterpart path)."""
+    import jax
+
+    from clean_pvnet_tpu.models import make_network
+    from clean_pvnet_tpu.parallel import make_mesh
+    from clean_pvnet_tpu.train import CheckpointIO, Trainer
+    from train_net import torch_init
+
+    if not args.torch_ckpt:
+        raise SystemExit("--torch_ckpt PATH is required for --type import_torch")
+    model = make_network(cfg)
+    mesh = make_mesh(cfg.mesh)
+    trainer = Trainer(cfg, model, steps_per_epoch=1, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    state = torch_init(state, args.torch_ckpt)
+    epoch = cfg.test.epoch if cfg.test.epoch >= 0 else 0
+    ckpt = CheckpointIO(os.path.join(cfg.model_dir, cfg.task, cfg.model))
+    ckpt.save(state, epoch, wait=True)
+    print(f"imported {args.torch_ckpt} -> "
+          f"{os.path.join(cfg.model_dir, cfg.task, cfg.model)} epoch {epoch}")
+
+
 COMMANDS = {
     "synthetic": run_synthetic,
     "custom": run_custom,
@@ -335,6 +361,7 @@ COMMANDS = {
     "visualize": run_visualize,
     "analyze": run_analyze,
     "demo": run_demo,
+    "import_torch": run_import_torch,
 }
 
 
@@ -346,6 +373,8 @@ def main():
     parser.add_argument("--n_test", type=int, default=50)
     parser.add_argument("--n_vis", type=int, default=4)
     parser.add_argument("--n_classes", type=int, default=3)
+    parser.add_argument("--torch_ckpt", default=None,
+                        help="path to a reference .pth for --type import_torch")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = parser.parse_args()
 

@@ -181,6 +181,28 @@ def build_eval_ct(cfg, model):
         DetectionEvaluator(cfg)
 
 
+def torch_init(state, path: str):
+    """Initialize a TrainState's variables from a torch `.pth`: either a full
+    reference PVNet checkpoint (resnet18_8s.* keys) or a torchvision ImageNet
+    resnet18 state dict (backbone-only; the reference's pretrained init)."""
+    from clean_pvnet_tpu.models.torch_import import (
+        import_pvnet_state_dict,
+        import_resnet_backbone,
+        load_torch_checkpoint,
+    )
+
+    sd = load_torch_checkpoint(path)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if any(k.startswith("resnet18_8s.") for k in sd):
+        new_vars = import_pvnet_state_dict(sd, variables)
+    else:
+        new_vars = import_resnet_backbone(sd, variables)
+    new_vars = jax.tree.map(jnp.asarray, new_vars)
+    return state.replace(
+        params=new_vars["params"], batch_stats=new_vars["batch_stats"]
+    )
+
+
 def run_eval(cfg, model, state, loader, pipeline, evaluator):
     if cfg.task == "ct":
         for batch in loader:
@@ -242,6 +264,9 @@ def main():
     state = trainer.init_state(
         jax.random.PRNGKey(cfg.train.seed), (1, sample_hw[0], sample_hw[1], 3)
     )
+    if cfg.train.torch_pretrain and cfg.task == "pvnet":
+        state = torch_init(state, cfg.train.torch_pretrain)
+        print(f"initialized from torch checkpoint {cfg.train.torch_pretrain}")
     begin_epoch = -1
     if cfg.train.resume:
         state, begin_epoch = ckpt.restore(state, cfg.test.epoch if args.test else None)
