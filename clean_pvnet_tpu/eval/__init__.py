@@ -7,7 +7,11 @@ from clean_pvnet_tpu.eval.metrics import (  # noqa: F401
 )
 from clean_pvnet_tpu.eval.linemod import LinemodEvaluator  # noqa: F401
 from clean_pvnet_tpu.eval.pipeline import InferencePipeline  # noqa: F401
-from clean_pvnet_tpu.eval.tless import TlessEvaluator, detection_ap  # noqa: F401
+from clean_pvnet_tpu.eval.tless import (  # noqa: F401
+    TlessEvaluator,
+    detection_ap,
+    detection_map,
+)
 from clean_pvnet_tpu.eval.vsd import vsd_error, vsd_pose_error  # noqa: F401
 from clean_pvnet_tpu.eval.icp import ICPRefiner  # noqa: F401
 from clean_pvnet_tpu.registry import EVALUATORS  # noqa: F401

@@ -114,47 +114,50 @@ class TlessEvaluator:
         return out
 
 
-def detection_ap(
-    gts: list[list[tuple[int, np.ndarray]]],
-    preds: list[list[tuple[int, float, np.ndarray]]],
-    iou_thresh: float = 0.5,
-) -> float:
-    """AP@iou for axis-aligned boxes, all classes pooled.
+def _box_iou(a, b):
+    x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
+    x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
+    inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / ua if ua > 0 else 0.0
 
-    Minimal stand-in for the vendored COCOeval bbox mAP
-    (ref lib/evaluators/tless_test/ct.py:32-79, coco_eval.py).
-    gts[i]  = [(cls, box4)] per image; preds[i] = [(cls, score, box4)].
+
+def _class_ap(gts, preds, cls: int, iou_thresh: float) -> float | None:
+    """101-point interpolated AP for one class at one IoU threshold.
+
+    COCOeval matching semantics (ref coco_eval.py evaluateImg): detections
+    in score order, each matched to the highest-IoU unclaimed GT of its
+    class. Returns None when the class has no GT (excluded from the mean,
+    like COCOeval's -1 sentinel).
     """
-
-    def iou(a, b):
-        x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
-        x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
-        inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
-        ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
-        return inter / ua if ua > 0 else 0.0
-
     records = []
-    n_gt = sum(len(g) for g in gts)
+    n_gt = 0
     for img, dets in enumerate(preds):
-        taken = [False] * len(gts[img])
-        for cls, score, box in sorted(dets, key=lambda d: -d[1]):
-            hit = False
-            for j, (gcls, gbox) in enumerate(gts[img]):
-                if taken[j] or gcls != cls:
+        gt_boxes = [gb for gc, gb in gts[img] if gc == cls]
+        n_gt += len(gt_boxes)
+        taken = [False] * len(gt_boxes)
+        for _, score, box in sorted(
+            (d for d in dets if d[0] == cls), key=lambda d: -d[1]
+        ):
+            best_j, best_iou = -1, iou_thresh
+            for j, gbox in enumerate(gt_boxes):
+                if taken[j]:
                     continue
-                if iou(box, gbox) >= iou_thresh:
-                    taken[j] = True
-                    hit = True
-                    break
-            records.append((score, hit))
-    if not records or n_gt == 0:
+                v = _box_iou(box, gbox)
+                if v >= best_iou:
+                    best_j, best_iou = j, v
+            if best_j >= 0:
+                taken[best_j] = True
+            records.append((score, best_j >= 0))
+    if n_gt == 0:
+        return None
+    if not records:
         return 0.0
     records.sort(key=lambda r: -r[0])
     tp = np.cumsum([r[1] for r in records])
     fp = np.cumsum([not r[1] for r in records])
     recall = tp / n_gt
     precision = tp / np.maximum(tp + fp, 1)
-    # 101-point interpolation (COCO style)
     ap = 0.0
     for r in np.linspace(0, 1, 101):
         p = precision[recall >= r]
@@ -162,11 +165,49 @@ def detection_ap(
     return ap / 101.0
 
 
+def detection_map(
+    gts: list[list[tuple[int, np.ndarray]]],
+    preds: list[list[tuple[int, float, np.ndarray]]],
+    iou_thresholds=tuple(np.round(np.arange(0.5, 1.0, 0.05), 2)),
+) -> dict:
+    """COCO-style bbox mAP: per-class AP averaged over classes and over
+    IoU ∈ {0.5 .. 0.95} (counterpart of the vendored COCOeval summary,
+    ref lib/evaluators/tless_test/ct.py:32-79 + coco_eval.py).
+
+    gts[i]  = [(cls, box4)] per image; preds[i] = [(cls, score, box4)].
+    Returns {"map", "ap50", "ap75"}.
+    """
+    classes = sorted({c for g in gts for c, _ in g})
+    per_iou = {}
+    for t in iou_thresholds:
+        aps = [a for a in (_class_ap(gts, preds, c, float(t)) for c in classes)
+               if a is not None]
+        per_iou[float(t)] = float(np.mean(aps)) if aps else 0.0
+    return {
+        "map": float(np.mean(list(per_iou.values()))) if per_iou else 0.0,
+        "ap50": per_iou.get(0.5, 0.0),
+        "ap75": per_iou.get(0.75, 0.0),
+    }
+
+
+def detection_ap(
+    gts: list[list[tuple[int, np.ndarray]]],
+    preds: list[list[tuple[int, float, np.ndarray]]],
+    iou_thresh: float = 0.5,
+) -> float:
+    """Per-class AP@iou averaged over classes with GT (see detection_map)."""
+    classes = sorted({c for g in gts for c, _ in g})
+    aps = [a for a in (_class_ap(gts, preds, c, iou_thresh) for c in classes)
+           if a is not None]
+    return float(np.mean(aps)) if aps else 0.0
+
+
 @EVALUATORS.register("ct")
 class DetectionEvaluator:
     """Detector-task evaluator: accumulates per-image GT/pred boxes and
-    reports AP@0.5 (counterpart of reference lib/evaluators/tless_test/ct.py
-    evaluate/summarize over the vendored COCOeval)."""
+    reports COCO-style mAP/AP50/AP75 (counterpart of reference
+    lib/evaluators/tless_test/ct.py evaluate/summarize over the vendored
+    COCOeval)."""
 
     def __init__(self, cfg: Config, down_ratio: int = 4,
                  score_thresh: float = 0.1):
@@ -202,8 +243,15 @@ class DetectionEvaluator:
             self.preds.append(pred)
 
     def summarize(self) -> dict:
-        ap = detection_ap(self.gts, self.preds) if self.gts else 0.0
-        out = {"det_ap50": ap, "n_images": len(self.gts)}
+        stats = detection_map(self.gts, self.preds) if self.gts else {
+            "map": 0.0, "ap50": 0.0, "ap75": 0.0,
+        }
+        out = {
+            "det_map": stats["map"],
+            "det_ap50": stats["ap50"],
+            "det_ap75": stats["ap75"],
+            "n_images": len(self.gts),
+        }
         print(" ".join(f"{k}: {v}" for k, v in out.items()))
         self.reset()
         return out

@@ -133,6 +133,26 @@ def _count_inliers_chunked(hyp, direct, coords, valid, inlier_thresh, chunk):
     return counts.reshape(hn, -1)
 
 
+def _count_inliers(hyp, direct, coords, valid, inlier_thresh, hyp_chunk):
+    """Inlier counts [hn, vn]: route to the Pallas TPU kernel for large
+    hypothesis×pixel workloads (measured ~2.3× over the XLA scan at the
+    uncertainty-PnP shapes, incl. under vmap), else the jnp paths."""
+    hn, t = hyp.shape[0], coords.shape[0]
+    if jax.default_backend() == "tpu" and hn * t >= (1 << 20):
+        from clean_pvnet_tpu.ops.voting_pallas import count_inliers_pallas
+
+        return count_inliers_pallas(direct, coords, valid, hyp, inlier_thresh)
+    if hyp_chunk and hn > hyp_chunk:
+        return _count_inliers_chunked(
+            hyp, direct, coords, valid, inlier_thresh, hyp_chunk
+        )
+    return jnp.sum(
+        _inlier_mask(hyp, direct, coords, valid, inlier_thresh),
+        -1,
+        dtype=jnp.int32,
+    )
+
+
 def _refit(win_pts, direct, coords, valid, inlier_thresh):
     """Weighted LS ray-intersection refit on the winners' inliers.
 
@@ -213,16 +233,9 @@ def ransac_vote(
         idx_pairs = jnp.floor(u * jnp.maximum(tv, 1)).astype(jnp.int32)
         idx_pairs = jnp.clip(idx_pairs, 0, max_pixels - 1)
         hyp = generate_hypotheses(direct, coords, idx_pairs)
-        if hyp_chunk and num_hypotheses > hyp_chunk:
-            counts = _count_inliers_chunked(
-                hyp, direct, coords, valid, inlier_thresh, hyp_chunk
-            )
-        else:
-            counts = jnp.sum(
-                _inlier_mask(hyp, direct, coords, valid, inlier_thresh),
-                -1,
-                dtype=jnp.int32,
-            )
+        counts = _count_inliers(
+            hyp, direct, coords, valid, inlier_thresh, hyp_chunk
+        )
         win_idx = jnp.argmax(counts, 0)  # [vn]
         win_counts = jnp.take_along_axis(counts, win_idx[None], 0)[0]
         win_pts = hyp[win_idx, jnp.arange(vn)]
@@ -277,7 +290,7 @@ def estimate_voting_distribution(
         jnp.floor(u * jnp.maximum(tv, 1)).astype(jnp.int32), 0, max_pixels - 1
     )
     hyp = generate_hypotheses(direct, coords, idx_pairs)  # [hn, vn, 2]
-    counts = _count_inliers_chunked(
+    counts = _count_inliers(
         hyp, direct, coords, valid, inlier_thresh, hyp_chunk
     )
     ratio = counts.astype(jnp.float32) / jnp.maximum(tv, 1)  # [hn, vn]

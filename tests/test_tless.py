@@ -156,3 +156,44 @@ class TestDetectionAP:
         preds = [[(0, 0.9, box)], [(0, 0.8, np.array([50, 50, 70, 70.0]))]]
         ap = detection_ap(gts, preds)
         assert 0.3 < ap < 0.7
+
+    def test_per_class_average(self):
+        # class 0 perfect, class 1 missed → mean 0.5 (pooled would differ)
+        b0 = np.array([10, 10, 30, 30], np.float64)
+        b1 = np.array([50, 50, 70, 70], np.float64)
+        gts = [[(0, b0), (1, b1)]]
+        preds = [[(0, 0.9, b0)]]
+        ap = detection_ap(gts, preds)
+        assert abs(ap - 0.5) < 0.01
+
+    def test_best_iou_matching(self):
+        # two overlapping GTs; one detection sits closer to the second —
+        # greedy-first matching would claim the wrong GT
+        g1 = np.array([0, 0, 20, 20], np.float64)
+        g2 = np.array([4, 4, 24, 24], np.float64)
+        det = np.array([4, 4, 24, 24], np.float64)
+        gts = [[(0, g1), (0, g2)]]
+        preds = [[(0, 0.9, det), (0, 0.8, g1)]]
+        ap = detection_ap(gts, preds, iou_thresh=0.75)
+        assert ap > 0.99  # both matched: det→g2 (IoU 1.0), second→g1
+
+
+class TestDetectionMAP:
+    def test_map_keys_and_perfect(self):
+        from clean_pvnet_tpu.eval.tless import detection_map
+
+        box = np.array([10, 10, 30, 30], np.float64)
+        stats = detection_map([[(0, box)]], [[(0, 0.9, box)]])
+        assert stats["map"] > 0.99
+        assert stats["ap50"] > 0.99
+        assert stats["ap75"] > 0.99
+
+    def test_loose_box_drops_high_iou_aps(self):
+        from clean_pvnet_tpu.eval.tless import detection_map
+
+        gt = np.array([10, 10, 30, 30], np.float64)
+        loose = np.array([10, 10, 34, 30], np.float64)  # IoU = 20/24 ≈ 0.83
+        stats = detection_map([[(0, gt)]], [[(0, 0.9, loose)]])
+        assert stats["ap50"] > 0.99
+        assert stats["ap75"] > 0.99
+        assert 0.5 < stats["map"] < 0.9  # IoU≥0.85 thresholds fail
