@@ -79,3 +79,57 @@ class PVNetVisualizer:
 
         img = (inp * IMAGENET_STD + IMAGENET_MEAN) * 255.0
         return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@VISUALIZERS.register("ct")
+class DetectionVisualizer:
+    """Detector-output overlays: predicted boxes (blue, score-annotated)
+    and GT boxes (green). Counterpart of the reference's detection
+    visualizers (ref lib/visualizers/tless_test/ct.py:16-24, which plots
+    `detection[:, :4] * down_ratio` over the unnormalized input)."""
+
+    def __init__(self, cfg: Config, down_ratio: int = 4,
+                 score_thresh: float = 0.3):
+        self.cfg = cfg
+        self.down_ratio = down_ratio
+        self.score_thresh = score_thresh
+
+    def visualize(self, output: dict, batch: dict, path: str = "det_vis.png"):
+        img = PVNetVisualizer._denorm(np.asarray(batch["inp"][0]))
+        im = Image.fromarray(img)
+        draw = ImageDraw.Draw(im)
+        meta = batch["meta"][0] if batch.get("meta") else {}
+        for ann in meta.get("anns", []):
+            x, y, w, h = ann["bbox"]
+            draw.rectangle([x, y, x + w, y + h], outline=(0, 255, 0), width=2)
+        boxes = np.asarray(output["bboxes"][0], np.float32) * self.down_ratio
+        scores = np.asarray(output["scores"][0], np.float32)
+        for box, s in zip(boxes, scores):
+            if s < self.score_thresh:
+                continue
+            draw.rectangle(list(box), outline=(64, 64, 255), width=2)
+            draw.text((box[0] + 2, box[1] + 2), f"{s:.2f}", fill=(64, 64, 255))
+        im.save(path)
+        return path
+
+    def visualize_train(self, batch: dict, path: str = "det_train_vis.png"):
+        """GT-target inspection: boxes recovered from the ct_hm peak + wh
+        training targets."""
+        img = PVNetVisualizer._denorm(np.asarray(batch["inp"][0]))
+        im = Image.fromarray(img)
+        draw = ImageDraw.Draw(im)
+        hm_w = np.asarray(batch["ct_hm"][0]).shape[1]
+        ct_ind = np.asarray(batch["ct_ind"][0])
+        wh = np.asarray(batch["wh"][0])
+        valid = np.asarray(batch["ct_valid"][0]) > 0
+        for ind, (w, h), ok in zip(ct_ind, wh, valid):
+            if not ok:
+                continue
+            cx, cy = (ind % hm_w), (ind // hm_w)
+            x0 = (cx - w / 2) * self.down_ratio
+            y0 = (cy - h / 2) * self.down_ratio
+            x1 = (cx + w / 2) * self.down_ratio
+            y1 = (cy + h / 2) * self.down_ratio
+            draw.rectangle([x0, y0, x1, y1], outline=(0, 255, 0), width=2)
+        im.save(path)
+        return path

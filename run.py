@@ -105,13 +105,17 @@ def run_visualize(cfg, args):
     loader, pipeline, evaluator = build_eval(cfg, model)
     vis = make_visualizer(cfg)
     for i, batch in enumerate(loader):
-        K = jnp.asarray(
-            np.stack([np.asarray(m["ann"]["K"], np.float32) for m in batch["meta"]])
-        )
-        out = pipeline(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            jnp.asarray(batch["inp"]), K, jax.random.PRNGKey(i),
-        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if cfg.task == "ct":
+            out = pipeline(variables, jnp.asarray(batch["inp"]))
+        else:
+            K = jnp.asarray(
+                np.stack(
+                    [np.asarray(m["ann"]["K"], np.float32) for m in batch["meta"]]
+                )
+            )
+            out = pipeline(variables, jnp.asarray(batch["inp"]), K,
+                           jax.random.PRNGKey(i))
         path = vis.visualize(out, batch, path=f"vis_{i:03d}.png")
         print("wrote", path)
         if i >= args.n_vis - 1:
