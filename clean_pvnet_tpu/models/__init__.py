@@ -4,6 +4,7 @@ from clean_pvnet_tpu.models.centernet import CenterNet, decode_ct_heatmap  # noq
 from clean_pvnet_tpu.models.cascade import CascadePipeline  # noqa: F401
 from clean_pvnet_tpu.models.dla import DLASeg  # noqa: F401
 import clean_pvnet_tpu.models.hourglass  # noqa: F401
+import clean_pvnet_tpu.models.linear_model  # noqa: F401
 import clean_pvnet_tpu.models.resnet_dcn  # noqa: F401
 from clean_pvnet_tpu.registry import NETWORKS  # noqa: F401
 

@@ -94,3 +94,26 @@ class TestDetectionDataset:
         assert batch["ct_hm"].shape == (2, 24, 32, 2)
         assert batch["wh"].shape == (2, 32, 2)
         assert batch["ct_hm"].max() == 1.0
+
+
+class TestLinearModel:
+    def test_forward_and_registry(self):
+        import jax
+        import jax.numpy as jnp
+
+        from clean_pvnet_tpu.config import Config
+        from clean_pvnet_tpu.models import make_network
+
+        cfg = Config().with_overrides(
+            {"network.name": "linear", "network.use_bfloat16": False}
+        )
+        model = make_network(cfg)
+        x = jnp.zeros((2, 8, 2))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out["quat"].shape == (2, 4)
+        # train mode threads a dropout rng
+        out_t = model.apply(variables, x, train=True,
+                            rngs={"dropout": jax.random.PRNGKey(1)},
+                            mutable=["batch_stats"])
+        assert out_t[0]["quat"].shape == (2, 4)
