@@ -149,3 +149,47 @@ class TestUncertaintyPnP:
         )
         r_deg, t_err = pose_errors(pred, rt)
         assert r_deg < 0.1 and t_err < 1e-3
+
+
+class TestOpenCVParity:
+    """SURVEY.md §7 hard-part #2: LM convergence parity with OpenCV's
+    SOLVEPNP_ITERATIVE (the reference's solver, ref pvnet_pose_utils.py:5-38)."""
+
+    def test_matches_cv2_iterative(self, rng):
+        cv2 = pytest.importorskip("cv2")
+        worse = 0
+        for _ in range(10):
+            pts3d, pts2d, rt = make_problem(rng, noise=1.0)
+            ours = np.asarray(solve_pnp(jnp.asarray(pts3d), jnp.asarray(pts2d), K))
+            _, rvec, tvec = cv2.solvePnP(
+                pts3d.astype(np.float64),
+                pts2d.astype(np.float64),
+                np.asarray(K, np.float64),
+                None,
+                flags=cv2.SOLVEPNP_ITERATIVE,
+            )
+            Rcv, _ = cv2.Rodrigues(rvec)
+            cv = np.concatenate([Rcv, tvec], -1).astype(np.float32)
+
+            def reproj_err(rt_):
+                p = np.asarray(project(jnp.asarray(pts3d), K, jnp.asarray(rt_)))
+                return float(np.linalg.norm(p - pts2d, axis=-1).mean())
+
+            e_ours, e_cv = reproj_err(ours), reproj_err(cv)
+            # ours must reach the same optimum (tolerance: 5% or 0.05 px)
+            if e_ours > e_cv * 1.05 + 0.05:
+                worse += 1
+            r_deg, t_err = pose_errors(ours, cv)
+            assert r_deg < 2.0, r_deg     # same basin as OpenCV
+            assert t_err < 0.02, t_err
+        assert worse == 0
+
+    def test_matches_cv2_epnp_seeded_refine(self, rng):
+        """Against cv2's EPnP+refine combo on clean data (tight bound)."""
+        cv2 = pytest.importorskip("cv2")
+        for _ in range(5):
+            pts3d, pts2d, rt = make_problem(rng, noise=0.0)
+            ours = np.asarray(solve_pnp(jnp.asarray(pts3d), jnp.asarray(pts2d), K))
+            r_deg, t_err = pose_errors(ours, rt)
+            assert r_deg < 0.1, r_deg
+            assert t_err < 1e-3, t_err
