@@ -49,7 +49,15 @@ class DataLoader:
         seed: int = 0,
         num_workers: int = 2,
         drop_last: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """batch_size is the GLOBAL batch; under multi-host SPMD
+        (process_count > 1) each host loads only its interleaved slice of
+        every global batch — same seed on every host keeps the shuffle and
+        the per-batch (h, w) bucket draw identical, so
+        `DistributedSession.host_local_batch_to_global` can assemble the
+        shards into one global array without host duplication."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -57,6 +65,13 @@ class DataLoader:
         self.rng = np.random.RandomState(seed)
         self.num_workers = max(num_workers, 1)
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1 and batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly over "
+                f"{process_count} hosts"
+            )
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -73,6 +88,8 @@ class DataLoader:
             if len(chunk) == 0:
                 continue
             h, w = self.buckets[self.rng.randint(len(self.buckets))]
+            if self.process_count > 1:
+                chunk = chunk[self.process_index :: self.process_count]
             batches.append([(int(j), h, w) for j in chunk])
         return batches
 
@@ -118,6 +135,8 @@ def make_data_loader(cfg: Config, is_train: bool, ann_file: str,
     dataset = DATASETS.build(name, cfg, ann_file,
                              seed=cfg.train.seed if seed is None else seed)
     if is_train:
+        import jax
+
         return DataLoader(
             dataset,
             cfg.train.batch_size,
@@ -126,6 +145,8 @@ def make_data_loader(cfg: Config, is_train: bool, ann_file: str,
             seed=cfg.train.seed,
             num_workers=cfg.train.num_workers,
             drop_last=True,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
     return DataLoader(
         dataset,

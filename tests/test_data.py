@@ -166,3 +166,47 @@ class TestLinemodDataset:
                             num_workers=1)
         shapes = {b["inp"].shape[1:3] for b in loader}
         assert shapes <= {(64, 96), (96, 128)}
+
+
+class TestMultiHostSharding:
+    """Per-host loader slices (data/loader.py process_index/process_count)."""
+
+    class _Toy:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, t):
+            i, h, w = t
+            import numpy as np
+            return {"inp": np.full((2, 2), i, np.float32), "idx": i}
+
+    def test_hosts_partition_each_batch(self):
+        from clean_pvnet_tpu.data.loader import DataLoader
+
+        loaders = [
+            DataLoader(self._Toy(), 8, shuffle=True, seed=3, num_workers=1,
+                       buckets=((2, 2), (4, 4)), process_index=p,
+                       process_count=2)
+            for p in range(2)
+        ]
+        full = DataLoader(self._Toy(), 8, shuffle=True, seed=3, num_workers=1,
+                          buckets=((2, 2), (4, 4)))
+        got = [l._index_batches() for l in loaders]
+        want = full._index_batches()
+        assert len(got[0]) == len(got[1]) == len(want)
+        for b0, b1, bw in zip(got[0], got[1], want):
+            # same bucket draw on every host
+            assert {t[1:] for t in b0} == {t[1:] for t in b1} == {t[1:] for t in bw}
+            # disjoint halves that reassemble the global batch
+            i0 = [t[0] for t in b0]
+            i1 = [t[0] for t in b1]
+            assert len(i0) == len(i1) == 4
+            assert set(i0).isdisjoint(i1)
+            assert sorted(i0 + i1) == sorted(t[0] for t in bw)
+
+    def test_uneven_batch_rejected(self):
+        from clean_pvnet_tpu.data.loader import DataLoader
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            DataLoader(self._Toy(), 9, process_index=0, process_count=2)

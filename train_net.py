@@ -244,6 +244,9 @@ def main():
 
     apply_platform(cfg.platform)
     enable_compilation_cache()
+    from clean_pvnet_tpu.parallel.distributed import init_distributed
+
+    session = init_distributed()  # no-op rendezvous on a single host
     model = make_network(cfg)
     mesh = make_mesh(cfg.mesh)
     model_dir = os.path.join(cfg.model_dir, cfg.task, cfg.model)
@@ -278,10 +281,16 @@ def main():
         print(metrics)
         return
 
+    if session.process_count > 1:
+        # each host loaded its slice; assemble the global sharded batch
+        place = lambda b: session.host_local_batch_to_global(b, mesh)  # noqa: E731
+    else:
+        place = lambda b: shard_batch(b, mesh)  # noqa: E731
+
     for epoch in range(begin_epoch + 1, cfg.train.epochs):
         state = trainer.run_epoch(
             state,
-            (shard_batch(_strip(b, cfg.task), mesh) for b in train_loader),
+            (place(_strip(b, cfg.task)) for b in train_loader),
             epoch,
         )
         if (epoch + 1) % cfg.train.save_every_epochs == 0:
