@@ -217,6 +217,7 @@ def generate_synthetic_dataset(
             }
             if depth:
                 ann["depth_path"] = depth_path
+                ann["depth_scale"] = 10000.0  # PNG units per meter
             annotations.append(ann)
         out = {
             "images": images,

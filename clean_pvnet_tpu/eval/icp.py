@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from clean_pvnet_tpu.ops.rasterize import render_depth_jax
 
@@ -120,7 +121,8 @@ class ICPRefiner:
         )
 
     def _build(self):
-        def refine(pose, depth_obs, K, key, depth_only=False, no_depth=False):
+        def refine(pose, depth_obs, K, key, factor, depth_only=False,
+                   no_depth=False):
             d_syn = render_depth_jax(self.verts, self.faces, K, pose, self.hw)
             k1, k2 = jax.random.split(key)
             syn_pts, syn_w = depth_to_cloud_fixed(d_syn, K, self.n, k1)
@@ -133,7 +135,7 @@ class ICPRefiner:
             syn_d = jnp.linalg.norm(syn_pts - centroid, axis=-1) * syn_w
             max_d = jnp.max(syn_d)
             obs_d = jnp.linalg.norm(obs_pts - centroid, axis=-1)
-            obs_w = obs_w * (obs_d < self.factor * max_d)
+            obs_w = obs_w * (obs_d < factor * max_d)
 
             enough = jnp.sum(obs_w) >= jnp.sum(syn_w) / 20.0
             R_icp, t_icp = icp_fixed(
@@ -155,19 +157,58 @@ class ICPRefiner:
 
         return refine
 
-    def refine(self, pose, depth_obs, K, key, depth_only=False, no_depth=False):
+    def refine(self, pose, depth_obs, K, key, depth_only=False,
+               no_depth=False, factor: float | None = None):
         return self._refine(
             jnp.asarray(pose, jnp.float32),
             jnp.asarray(depth_obs, jnp.float32),
             jnp.asarray(K, jnp.float32),
             key,
+            jnp.float32(self.factor if factor is None else factor),
             depth_only=depth_only,
             no_depth=no_depth,
         )
 
     def refine_two_stage(self, pose, depth_obs, K, key):
-        """depth-only then no-depth pass (ref lib/evaluators/linemod/
-        pvnet.py:111-112 icp_refine's two-stage schedule)."""
+        """depth-only pass with a loose distance gate (factor 5, ref
+        pvnet.py:111), then no-depth pass with the default gate (:112)."""
         k1, k2 = jax.random.split(key)
-        p1 = self.refine(pose, depth_obs, K, k1, depth_only=True)
+        p1 = self.refine(pose, depth_obs, K, k1, depth_only=True, factor=5.0)
         return self.refine(p1, depth_obs, K, k2, no_depth=True)
+
+
+def make_linemod_refiner(verts, faces, hw, n_points: int = 2048):
+    """Adapter with the LinemodEvaluator's refiner contract
+    (pose_pred, ann, mask_pred, K) → refined pose, implementing the
+    reference's eval-time ICP (ref lib/evaluators/linemod/pvnet.py:102-116):
+    read the annotation's depth map, keep depth only where the predicted
+    mask is foreground, skip when the predicted pose is behind the camera,
+    two-stage refine. Depth PNGs are in `ann['depth_scale']` units per
+    meter (1000 for real LINEMOD depth, ref read_depth mm convention)."""
+    from PIL import Image
+
+    refiner = ICPRefiner(verts, faces, hw, n_points=n_points)
+
+    def refine(pose_pred, ann, mask_pred, K):
+        pose_pred = np.asarray(pose_pred, np.float32)
+        if pose_pred[2, 3] <= 0:
+            return pose_pred
+        depth = np.asarray(Image.open(ann["depth_path"]), np.float32)
+        depth = depth / float(ann.get("depth_scale", 1000.0))
+        mask = np.asarray(mask_pred)
+        if mask.shape != depth.shape:
+            mask = np.asarray(
+                Image.fromarray(mask.astype(np.uint8)).resize(
+                    (depth.shape[1], depth.shape[0]), Image.NEAREST
+                )
+            )
+        depth = depth * (mask == 1)
+        key = jax.random.PRNGKey(
+            int(np.abs(pose_pred).sum() * 1e4) & 0x7FFFFFFF
+        )
+        refined = refiner.refine_two_stage(
+            pose_pred, depth, np.asarray(K, np.float32), key
+        )
+        return np.asarray(refined)
+
+    return refine

@@ -122,3 +122,38 @@ class TestICP:
         err_after = np.linalg.norm(refined[:, 3] - p_gt[:, 3])
         assert err_after < err_before, (err_before, err_after)
         assert err_after < 0.006, err_after
+
+
+class TestLinemodRefinerAdapter:
+    def test_adapter_improves_pose_from_depth_png(self, mesh, tmp_path):
+        from PIL import Image
+
+        from clean_pvnet_tpu.eval.icp import make_linemod_refiner
+        verts, faces = mesh
+        p_gt = pose(t=(0.0, 0.0, 0.5))
+        _, depth, _ = render_mesh_np(
+            np.asarray(verts), np.asarray(faces), K, np.asarray(p_gt), HW
+        )
+        path = tmp_path / "depth.png"
+        Image.fromarray((depth * 10000).astype(np.int32), mode="I").save(path)
+        ann = {"depth_path": str(path), "depth_scale": 10000.0}
+        mask = (depth > 0).astype(np.int32)
+
+        refiner = make_linemod_refiner(np.asarray(verts), np.asarray(faces),
+                                       HW, n_points=1024)
+        p_bad = np.asarray(p_gt).copy()
+        p_bad[:, 3] += np.array([0.01, -0.008, 0.02], np.float32)
+        refined = refiner(p_bad, ann, mask, np.asarray(K))
+        err_before = np.linalg.norm(p_bad[:, 3] - np.asarray(p_gt)[:, 3])
+        err_after = np.linalg.norm(refined[:, 3] - np.asarray(p_gt)[:, 3])
+        assert err_after < err_before * 0.5, (err_before, err_after)
+
+    def test_adapter_skips_behind_camera(self, mesh, tmp_path):
+        from clean_pvnet_tpu.eval.icp import make_linemod_refiner
+
+        verts, faces = mesh
+        refiner = make_linemod_refiner(np.asarray(verts), np.asarray(faces), HW)
+        p = np.asarray(pose(t=(0.0, 0.0, -0.5)))
+        out = refiner(p, {"depth_path": "does_not_exist.png"},
+                      np.zeros(HW, np.int32), np.asarray(K))
+        np.testing.assert_array_equal(out, p)  # no depth read, no refine

@@ -75,7 +75,16 @@ def build_eval(cfg, model):
     with open(os.path.join(cls_dir, "diameter.txt")) as f:
         diameter = float(f.read())
     pipeline = InferencePipeline(cfg, model, kpt_3d)
-    evaluator = LinemodEvaluator(cfg, mesh_ply["pts"], diameter)
+    icp_refiner = None
+    if cfg.test.icp:
+        from clean_pvnet_tpu.eval.icp import make_linemod_refiner
+
+        hw = cfg.test.image_hw if hasattr(cfg.test, "image_hw") else (480, 640)
+        icp_refiner = make_linemod_refiner(
+            mesh_ply["pts"], mesh_ply["faces"], hw
+        )
+    evaluator = LinemodEvaluator(cfg, mesh_ply["pts"], diameter,
+                                 icp_refiner=icp_refiner)
     return loader, pipeline, evaluator
 
 
