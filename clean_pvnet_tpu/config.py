@@ -152,6 +152,9 @@ class TestConfig:
     epoch: int = -1
     un_pnp: bool = False
     icp: bool = False
+    # render resolution for eval-time ICP depth synthesis (must match the
+    # dataset's depth-map size)
+    icp_render_hw: tuple = (480, 640)
     det_gt: bool = False
     vsd_tau: float = 20.0
     vsd_delta: float = 15.0

@@ -100,31 +100,46 @@ class DataLoader:
                 yield collate([self.dataset[t] for t in b])
             return
 
+        # order-preserving prefetch: workers push (batch_index, batch) and
+        # the consumer releases them in index order. Determinism matters
+        # beyond reproducibility — under multi-host SPMD every host must
+        # emit logical batch k at step k or the assembled global batch
+        # mixes different (h, w) buckets / different logical batches
+        # across hosts.
         q: queue.Queue = queue.Queue(maxsize=self.num_workers * 2)
         stop = object()
 
         def worker(my_batches):
             try:
-                for b in my_batches:
-                    q.put(collate([self.dataset[t] for t in b]))
+                for i, b in my_batches:
+                    q.put((i, collate([self.dataset[t] for t in b])))
             finally:
                 q.put(stop)
 
-        # round-robin split preserving order is unnecessary for training;
-        # workers push completed batches as they finish
-        shards = [batches[i :: self.num_workers] for i in range(self.num_workers)]
+        indexed = list(enumerate(batches))
+        shards = [indexed[i :: self.num_workers] for i in range(self.num_workers)]
         threads = [
             threading.Thread(target=worker, args=(s,), daemon=True) for s in shards
         ]
         for t in threads:
             t.start()
         done = 0
-        while done < len(threads):
+        pending: dict[int, dict[str, Any]] = {}
+        next_idx = 0
+        while done < len(threads) or pending:
+            if next_idx in pending:
+                yield pending.pop(next_idx)
+                next_idx += 1
+                continue
+            if done == len(threads):
+                # workers finished but a gap remains — nothing more will come
+                break
             item = q.get()
             if item is stop:
                 done += 1
                 continue
-            yield item
+            i, batch = item
+            pending[i] = batch
 
 
 def make_data_loader(cfg: Config, is_train: bool, ann_file: str,

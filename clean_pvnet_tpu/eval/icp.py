@@ -187,11 +187,18 @@ def make_linemod_refiner(verts, faces, hw, n_points: int = 2048):
     meter (1000 for real LINEMOD depth, ref read_depth mm convention)."""
     from PIL import Image
 
+    if faces is None:
+        raise ValueError(
+            "ICP refinement needs a triangulated mesh (the class .ply has "
+            "no faces); disable test.icp or provide a mesh with faces"
+        )
     refiner = ICPRefiner(verts, faces, hw, n_points=n_points)
 
     def refine(pose_pred, ann, mask_pred, K):
         pose_pred = np.asarray(pose_pred, np.float32)
-        if pose_pred[2, 3] <= 0:
+        # skip behind-camera AND non-finite poses (NaN compares False to 0,
+        # so the z-guard alone would fall through)
+        if not np.all(np.isfinite(pose_pred)) or pose_pred[2, 3] <= 0:
             return pose_pred
         depth = np.asarray(Image.open(ann["depth_path"]), np.float32)
         depth = depth / float(ann.get("depth_scale", 1000.0))
@@ -203,12 +210,12 @@ def make_linemod_refiner(verts, faces, hw, n_points: int = 2048):
                 )
             )
         depth = depth * (mask == 1)
-        key = jax.random.PRNGKey(
-            int(np.abs(pose_pred).sum() * 1e4) & 0x7FFFFFFF
-        )
+        counter[0] += 1
+        key = jax.random.PRNGKey(counter[0])
         refined = refiner.refine_two_stage(
             pose_pred, depth, np.asarray(K, np.float32), key
         )
         return np.asarray(refined)
 
+    counter = [0]
     return refine

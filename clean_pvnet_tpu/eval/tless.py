@@ -122,35 +122,48 @@ def _box_iou(a, b):
     return inter / ua if ua > 0 else 0.0
 
 
-def _class_ap(gts, preds, cls: int, iou_thresh: float) -> float | None:
-    """101-point interpolated AP for one class at one IoU threshold.
+def _class_iou_table(gts, preds, cls: int):
+    """Per-image score-sorted detections + their IoU rows against the
+    class's GTs, computed ONCE and reused across IoU thresholds (COCOeval
+    computes its IoU matrix once per (image, class) the same way).
+
+    Returns (per_image, n_gt): per_image[i] = (scores [D], ious [D, G]).
+    """
+    per_image = []
+    n_gt = 0
+    for img, dets in enumerate(preds):
+        gt_boxes = [gb for gc, gb in gts[img] if gc == cls]
+        n_gt += len(gt_boxes)
+        cdets = sorted((d for d in dets if d[0] == cls), key=lambda d: -d[1])
+        scores = np.array([d[1] for d in cdets], np.float64)
+        ious = np.array(
+            [[_box_iou(d[2], g) for g in gt_boxes] for d in cdets],
+            np.float64,
+        ).reshape(len(cdets), len(gt_boxes))
+        per_image.append((scores, ious))
+    return per_image, n_gt
+
+
+def _ap_from_table(per_image, n_gt: int, iou_thresh: float) -> float | None:
+    """101-point interpolated AP at one threshold from a precomputed table.
 
     COCOeval matching semantics (ref coco_eval.py evaluateImg): detections
     in score order, each matched to the highest-IoU unclaimed GT of its
     class. Returns None when the class has no GT (excluded from the mean,
     like COCOeval's -1 sentinel).
     """
-    records = []
-    n_gt = 0
-    for img, dets in enumerate(preds):
-        gt_boxes = [gb for gc, gb in gts[img] if gc == cls]
-        n_gt += len(gt_boxes)
-        taken = [False] * len(gt_boxes)
-        for _, score, box in sorted(
-            (d for d in dets if d[0] == cls), key=lambda d: -d[1]
-        ):
-            best_j, best_iou = -1, iou_thresh
-            for j, gbox in enumerate(gt_boxes):
-                if taken[j]:
-                    continue
-                v = _box_iou(box, gbox)
-                if v >= best_iou:
-                    best_j, best_iou = j, v
-            if best_j >= 0:
-                taken[best_j] = True
-            records.append((score, best_j >= 0))
     if n_gt == 0:
         return None
+    records = []
+    for scores, ious in per_image:
+        taken = np.zeros(ious.shape[1], bool)
+        for d in range(len(scores)):
+            row = np.where(taken, -1.0, ious[d])
+            j = int(np.argmax(row)) if row.size else -1
+            hit = row.size > 0 and row[j] >= iou_thresh
+            if hit:
+                taken[j] = True
+            records.append((float(scores[d]), hit))
     if not records:
         return 0.0
     records.sort(key=lambda r: -r[0])
@@ -178,10 +191,16 @@ def detection_map(
     Returns {"map", "ap50", "ap75"}.
     """
     classes = sorted({c for g in gts for c, _ in g})
+    tables = {c: _class_iou_table(gts, preds, c) for c in classes}
     per_iou = {}
     for t in iou_thresholds:
-        aps = [a for a in (_class_ap(gts, preds, c, float(t)) for c in classes)
-               if a is not None]
+        aps = [
+            a
+            for a in (
+                _ap_from_table(*tables[c], float(t)) for c in classes
+            )
+            if a is not None
+        ]
         per_iou[float(t)] = float(np.mean(aps)) if aps else 0.0
     return {
         "map": float(np.mean(list(per_iou.values()))) if per_iou else 0.0,
@@ -197,8 +216,14 @@ def detection_ap(
 ) -> float:
     """Per-class AP@iou averaged over classes with GT (see detection_map)."""
     classes = sorted({c for g in gts for c, _ in g})
-    aps = [a for a in (_class_ap(gts, preds, c, iou_thresh) for c in classes)
-           if a is not None]
+    aps = [
+        a
+        for a in (
+            _ap_from_table(*_class_iou_table(gts, preds, c), iou_thresh)
+            for c in classes
+        )
+        if a is not None
+    ]
     return float(np.mean(aps)) if aps else 0.0
 
 

@@ -107,8 +107,12 @@ class DetectionVisualizer:
         for box, s in zip(boxes, scores):
             if s < self.score_thresh:
                 continue
-            draw.rectangle(list(box), outline=(64, 64, 255), width=2)
-            draw.text((box[0] + 2, box[1] + 2), f"{s:.2f}", fill=(64, 64, 255))
+            # raw wh regression can be negative on an untrained detector;
+            # PIL requires ordered corners
+            x0, x1 = sorted((float(box[0]), float(box[2])))
+            y0, y1 = sorted((float(box[1]), float(box[3])))
+            draw.rectangle([x0, y0, x1, y1], outline=(64, 64, 255), width=2)
+            draw.text((x0 + 2, y0 + 2), f"{s:.2f}", fill=(64, 64, 255))
         im.save(path)
         return path
 

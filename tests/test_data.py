@@ -210,3 +210,34 @@ class TestMultiHostSharding:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             DataLoader(self._Toy(), 9, process_index=0, process_count=2)
+
+
+class TestLoaderOrdering:
+    """Multi-worker prefetch must preserve logical batch order (multi-host
+    SPMD requires every host to emit logical batch k at step k)."""
+
+    class _SlowToy:
+        def __len__(self):
+            return 24
+
+        def __getitem__(self, t):
+            import time
+
+            import numpy as np
+
+            i, h, w = t
+            # odd indices are slow: thread-completion order != logical order
+            if i % 2:
+                time.sleep(0.02)
+            return {"idx": np.asarray(i)}
+
+    def test_multiworker_yields_in_index_order(self):
+        from clean_pvnet_tpu.data.loader import DataLoader
+
+        loader = DataLoader(self._SlowToy(), 2, shuffle=True, seed=7,
+                            num_workers=4, buckets=((2, 2),))
+        want = [[t[0] for t in b] for b in loader._index_batches()]
+        # reset rng so __iter__ regenerates the same plan
+        loader.rng = __import__("numpy").random.RandomState(7)
+        got = [list(map(int, b["idx"])) for b in loader]
+        assert got == want

@@ -79,10 +79,13 @@ def build_eval(cfg, model):
     if cfg.test.icp:
         from clean_pvnet_tpu.eval.icp import make_linemod_refiner
 
-        hw = cfg.test.image_hw if hasattr(cfg.test, "image_hw") else (480, 640)
-        icp_refiner = make_linemod_refiner(
-            mesh_ply["pts"], mesh_ply["faces"], hw
-        )
+        if mesh_ply.get("faces") is None:
+            print("warning: test.icp set but the class mesh has no faces; "
+                  "skipping ICP refinement")
+        else:
+            icp_refiner = make_linemod_refiner(
+                mesh_ply["pts"], mesh_ply["faces"], cfg.test.icp_render_hw
+            )
     evaluator = LinemodEvaluator(cfg, mesh_ply["pts"], diameter,
                                  icp_refiner=icp_refiner)
     return loader, pipeline, evaluator
@@ -276,7 +279,12 @@ def main():
     state = trainer.init_state(
         jax.random.PRNGKey(cfg.train.seed), (1, sample_hw[0], sample_hw[1], 3)
     )
-    if cfg.train.torch_pretrain and cfg.task == "pvnet":
+    if cfg.train.torch_pretrain:
+        if cfg.task != "pvnet":
+            raise ValueError(
+                "train.torch_pretrain only supports the pvnet task (the "
+                f"reference PVNet/torchvision layouts); got task={cfg.task!r}"
+            )
         state = torch_init(state, cfg.train.torch_pretrain)
         print(f"initialized from torch checkpoint {cfg.train.torch_pretrain}")
     begin_epoch = -1
