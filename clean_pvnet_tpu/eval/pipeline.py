@@ -42,6 +42,12 @@ class InferencePipeline:
     def __init__(self, cfg: Config, model, kpt_3d, un_pnp: bool | None = None,
                  accept_uint8: bool = False):
         self.cfg = cfg
+        # keep the 20-channel full-res head output in bf16 (largest tensor in
+        # the program; the voting decode gathers + upcasts, so precision is
+        # unaffected) — halves its HBM footprint/traffic and admits larger
+        # serving batches.
+        if getattr(model, "cast_output", None) is True:
+            model = model.clone(cast_output=False)
         self.model = model
         self.kpt_3d = jnp.asarray(kpt_3d, jnp.float32)
         self.un_pnp = cfg.test.un_pnp if un_pnp is None else un_pnp

@@ -52,6 +52,13 @@ class PVNet(nn.Module):
     dtype: Any = jnp.float32
     bn_momentum: float = 0.9
     bn_axis_name: str | None = None
+    # cast seg/vertex to fp32 at the head. Training keeps this on (loss
+    # precision); the inference pipeline turns it off so the 20-channel
+    # full-resolution output is materialized in bf16 — half the HBM traffic
+    # and footprint of the largest tensor in the program. The voting decode
+    # only *gathers* O(max_pixels) rows from it and upcasts after the gather,
+    # so keypoint precision is unaffected.
+    cast_output: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -89,7 +96,8 @@ class PVNet(nn.Module):
         fm = stage(self.raw_dim, fm, inp, "raw")
         out = nn.Conv(self.seg_dim + self.ver_dim, (1, 1), dtype=self.dtype,
                       name="head")(fm)
-        out = out.astype(jnp.float32)
+        if self.cast_output:
+            out = out.astype(jnp.float32)
         seg = out[..., : self.seg_dim]
         vertex = out[..., self.seg_dim:]
         return {"seg": seg, "vertex": vertex}

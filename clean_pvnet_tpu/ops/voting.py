@@ -224,7 +224,9 @@ def ransac_vote(
     tv = jnp.sum(valid)
     enough = tv >= min_pixels
 
-    direct = vertex.reshape(-1, vn, 2)[flat_idx]  # [T, vn, 2]
+    # gather first, then upcast: the full-res field may be stored bf16
+    # (PVNet cast_output=False); only the T selected rows need fp32.
+    direct = vertex.reshape(-1, vn, 2)[flat_idx].astype(jnp.float32)  # [T, vn, 2]
     direct = direct * valid[:, None, None]
 
     def one_round(key_r):
@@ -282,7 +284,7 @@ def estimate_voting_distribution(
     tv = jnp.sum(valid)
     enough = tv >= min_pixels
 
-    direct = vertex.reshape(-1, vn, 2)[flat_idx]
+    direct = vertex.reshape(-1, vn, 2)[flat_idx].astype(jnp.float32)
     direct = direct * valid[:, None, None]
 
     u = jax.random.uniform(k_hyp, (num_hypotheses, vn, 2))
