@@ -156,6 +156,7 @@ class TestConfig:
     # dataset's depth-map size)
     icp_render_hw: tuple = (480, 640)
     det_gt: bool = False
+    vsd: bool = False
     vsd_tau: float = 20.0
     vsd_delta: float = 15.0
     vsd_thresh: float = 0.3

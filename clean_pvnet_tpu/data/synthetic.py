@@ -188,7 +188,9 @@ def generate_synthetic_dataset(
             Image.fromarray((mask * 255).astype(np.uint8)).save(mask_path)
             if depth:
                 depth_path = os.path.join(cls_dir, "depth", f"{split}_{i:05d}.png")
-                Image.fromarray((dep * 10000).astype(np.int32), mode="I").save(depth_path)
+                Image.fromarray(
+                    (dep * 10000).astype(np.uint16), mode="I;16"
+                ).save(depth_path)
 
             def proj(p):
                 c = p @ R.T + rt[:, 3]
@@ -284,6 +286,7 @@ def generate_multiobject_dataset(
 
     os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(root, "mask"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
     images, annotations = [], []
     ann_id = 0
     for si in range(n_scenes):
@@ -313,10 +316,19 @@ def generate_multiobject_dataset(
 
         img_path = os.path.join(root, "rgb", f"{si:05d}.png")
         mask_path = os.path.join(root, "mask", f"{si:05d}.png")
+        depth_path = os.path.join(root, "depth", f"{si:05d}.png")
         frame = np.clip(frame + rng.randn(h, w, 3) * 0.01, 0, 1)
         Image.fromarray((frame * 255).astype(np.uint8)).save(img_path)
         Image.fromarray(seg.astype(np.uint8)).save(mask_path)
-        images.append({"id": si, "file_name": img_path, "height": h, "width": w})
+        # scene z-buffer → depth map (the reference's T-LESS test images ship
+        # a depth_path per image, consumed by ICP/VSD eval,
+        # ref lib/evaluators/tless_test/pvnet.py:213,69)
+        scene_depth = np.where(np.isfinite(zbuf), zbuf, 0.0)
+        Image.fromarray(
+            (scene_depth * 10000).astype(np.uint16), mode="I;16"
+        ).save(depth_path)
+        images.append({"id": si, "file_name": img_path, "height": h, "width": w,
+                       "depth_path": depth_path, "depth_scale": 10000.0})
 
         for inst_id, c, rt, full_area in insts:
             vis_mask = seg == inst_id

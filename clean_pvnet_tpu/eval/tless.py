@@ -47,7 +47,86 @@ class TlessEvaluator:
         self.adi = []
         self.cmd5 = []
         self.vsd = []
+        self.icp_adi = []
+        self.icp_cmd5 = []
+        self.icp_vsd = []
         self.n_gt = 0
+
+    # --- per-pair predicates -------------------------------------------
+    def _adi_ok(self, gt: dict, pose_p) -> bool:
+        model = self.models[gt["cls"]]
+        dist = float(
+            adds_error(model["pts"], jnp.asarray(pose_p, jnp.float32),
+                       jnp.asarray(gt["pose"], jnp.float32))
+        )
+        return dist < 0.1 * model["diameter"]
+
+    def _cmd5_ok(self, gt: dict, pose_p) -> bool:
+        t_cm, r_deg = cm_degree(jnp.asarray(pose_p, jnp.float32),
+                                jnp.asarray(gt["pose"], jnp.float32))
+        return bool(float(t_cm) < 5 and float(r_deg) < 5)
+
+    def _vsd_ok(self, depth_test, gt: dict, pose_p) -> bool:
+        verts, faces = self.vsd_meshes[gt["cls"]]
+        err = float(
+            vsd_pose_error(
+                jnp.asarray(pose_p, jnp.float32),
+                jnp.asarray(gt["pose"], jnp.float32),
+                jnp.asarray(verts, jnp.float32),
+                jnp.asarray(faces, jnp.int32),
+                jnp.asarray(depth_test, jnp.float32),
+                jnp.asarray(gt["K"], jnp.float32),
+                self.hw,
+                delta=self.cfg.test.vsd_delta / 1000.0,
+                tau=self.cfg.test.vsd_tau / 1000.0,
+                cost_type="step",
+            )
+        )
+        return err < self.cfg.test.vsd_thresh
+
+    @staticmethod
+    def _any_match(gt_insts, preds, ok) -> bool:
+        for pr in preds:
+            for gt in gt_insts:
+                if pr["cls"] != gt["cls"]:
+                    continue
+                if ok(gt, pr["pose"]):
+                    return True
+        return False
+
+    def evaluate_image(
+        self,
+        gt_insts: list[dict],
+        preds: list[dict],
+        depth_test=None,
+        preds_icp: list[dict] | None = None,
+    ):
+        """Reference per-image counting (ref lib/evaluators/tless_test/
+        pvnet.py:252-256 and 107-125): each metric gets ONE boolean per
+        image — true if ANY predicted pose matches ANY GT instance of the
+        same class. `preds_icp` (ICP-refined poses, same order/classes)
+        feeds the reference's icp_adi/icp_cmd5/icp_vsd variants (:251-254,
+        270-272)."""
+        if not gt_insts:
+            return
+        self.n_gt += len(gt_insts)
+        self.adi.append(self._any_match(gt_insts, preds, self._adi_ok))
+        self.cmd5.append(self._any_match(gt_insts, preds, self._cmd5_ok))
+        do_vsd = depth_test is not None and self.vsd_meshes is not None
+        if do_vsd:
+            vsd_ok = lambda gt, p: self._vsd_ok(depth_test, gt, p)
+            self.vsd.append(self._any_match(gt_insts, preds, vsd_ok))
+        if preds_icp is not None:
+            self.icp_adi.append(
+                self._any_match(gt_insts, preds_icp, self._adi_ok)
+            )
+            self.icp_cmd5.append(
+                self._any_match(gt_insts, preds_icp, self._cmd5_ok)
+            )
+            if do_vsd:
+                self.icp_vsd.append(
+                    self._any_match(gt_insts, preds_icp, vsd_ok)
+                )
 
     def evaluate_scene(
         self,
@@ -109,6 +188,11 @@ class TlessEvaluator:
         }
         if self.vsd:
             out["vsd"] = float(np.mean(self.vsd))
+        if self.icp_adi:
+            out["icp_adi"] = float(np.mean(self.icp_adi))
+            out["icp_cmd5"] = float(np.mean(self.icp_cmd5))
+        if self.icp_vsd:
+            out["icp_vsd"] = float(np.mean(self.icp_vsd))
         print(" ".join(f"{k}: {v:.4f}" for k, v in out.items()))
         self.reset()
         return out
@@ -294,30 +378,102 @@ class TlessPoseEvalDriver:
     """
 
     def __init__(self, cfg: Config, evaluator: TlessEvaluator, coco,
-                 cls_filter: int | None = None, crop_K=None):
+                 cls_filter: int | None = None, crop_K=None,
+                 match: str = "image", icp_refiners: list | None = None):
         """cls_filter: evaluate only this class index (per-object runs, the
         reference's one-config-per-object flow). crop_K(meta) -> [3,3]:
         per-detection intrinsics in the crop frame, consumed by the eval
-        loop to feed the PnP stage."""
+        loop to feed the PnP stage. match: 'image' = reference per-image
+        any-match counting (ref tless_test/pvnet.py:252-256); 'instance' =
+        per-GT greedy matching (stricter, this repo's extension).
+        icp_refiners[c]: eval.icp.ICPRefiner per class (full-frame hw) —
+        when set, predicted masks are warped back to the image and each
+        pose gets the reference's depth-ICP refinement (:142-157)."""
         self.cfg = cfg
         self.evaluator = evaluator
         self.coco = coco
         self.cls_filter = cls_filter
         self.crop_K = crop_K
+        self.match = match
+        self.icp_refiners = icp_refiners
         self.preds_by_img: dict = {}
+        self._icp_calls = 0
 
     def evaluate(self, output: dict, batch: dict):
         poses = np.asarray(output["pose"], np.float32)
+        masks = (
+            np.asarray(output["mask"]) if self.icp_refiners is not None
+            and "mask" in output else None
+        )
         for i, meta in enumerate(batch["meta"]):
+            pred = {
+                "cls": int(meta["cls"]),
+                "pose": poses[i],
+                "score": float(meta["score"]),
+            }
+            if masks is not None and "crop_center" in meta:
+                pred["mask_full"] = self._mask_to_image(masks[i], meta)
             self.preds_by_img.setdefault(int(batch["img_id"][i]), []).append(
-                {
-                    "cls": int(meta["cls"]),
-                    "pose": poses[i],
-                    "score": float(meta["score"]),
-                }
+                pred
             )
 
+    def _mask_to_image(self, mask_crop: np.ndarray, meta: dict) -> np.ndarray:
+        """Warp the crop-frame predicted mask back to the full image
+        (ref tless_test/pvnet.py:243-245 warpAffine(seg, trans_inv))."""
+        from clean_pvnet_tpu.utils.image import warp_affine
+
+        s = mask_crop.shape[0]
+        step = float(meta["crop_size"]) / s
+        cx, cy = meta["crop_center"]
+        # crop→image: img = (crop + 0.5)·step + (center − size/2) − 0.5
+        M = np.array(
+            [
+                [step, 0, 0.5 * step + (cx - meta["crop_size"] / 2.0) - 0.5],
+                [0, step, 0.5 * step + (cy - meta["crop_size"] / 2.0) - 0.5],
+            ],
+            np.float64,
+        )
+        return warp_affine(
+            mask_crop.astype(np.uint8), M, self.evaluator.hw, interp="nearest"
+        )
+
+    def _icp_refine(self, pred: dict, depth: np.ndarray, K: np.ndarray):
+        """Reference tless icp_refine (:142-157): depth masked to the
+        predicted segmentation, skip behind-camera / tiny masks, two-stage
+        (depth-only with loose gate, then no-depth) refinement."""
+        import jax
+
+        pose = np.asarray(pred["pose"], np.float32)
+        mask = pred.get("mask_full")
+        if (
+            mask is None
+            or not np.all(np.isfinite(pose))
+            or pose[2, 3] <= 0
+            or int((mask == 1).sum()) < 20
+        ):
+            return pred
+        refiner = self.icp_refiners[pred["cls"]]
+        if refiner is None:
+            return pred
+        masked = depth * (mask == 1)
+        self._icp_calls += 1
+        refined = refiner.refine_two_stage(
+            pose, masked, K, jax.random.PRNGKey(self._icp_calls)
+        )
+        return {**pred, "pose": np.asarray(refined, np.float32)}
+
+    def _load_depth(self, info: dict) -> np.ndarray | None:
+        path = info.get("depth_path")
+        if path is None:
+            return None
+        from PIL import Image
+
+        depth = np.asarray(Image.open(path), np.float32)
+        return depth / float(info.get("depth_scale", 10000.0))
+
     def summarize(self) -> dict:
+        cfg = self.cfg
+        want_depth = cfg.test.vsd or self.icp_refiners is not None
         for img_id in self.coco.get_img_ids():
             gt = [
                 {
@@ -329,6 +485,22 @@ class TlessPoseEvalDriver:
                 if self.cls_filter is None
                 or int(a["category_id"]) - 1 == self.cls_filter
             ]
-            self.evaluator.evaluate_scene(gt, self.preds_by_img.get(img_id, []))
+            preds = self.preds_by_img.get(img_id, [])
+            depth = None
+            if want_depth:
+                depth = self._load_depth(self.coco.load_img(img_id))
+            preds_icp = None
+            if self.icp_refiners is not None and depth is not None and gt:
+                K_img = gt[0]["K"]  # full-frame intrinsics (ref :218 annos[0])
+                preds_icp = [self._icp_refine(p, depth, K_img) for p in preds]
+            vsd_depth = depth if cfg.test.vsd else None
+            if self.match == "image":
+                self.evaluator.evaluate_image(
+                    gt, preds, depth_test=vsd_depth, preds_icp=preds_icp
+                )
+            else:
+                self.evaluator.evaluate_scene(
+                    gt, preds, depth_test=vsd_depth
+                )
         self.preds_by_img = {}
         return self.evaluator.summarize()

@@ -129,3 +129,121 @@ class TestTlessPoseEvalDriver:
         m = driver.summarize()
         assert m["adi"] == 1.0
         assert m["cmd5"] == 1.0
+
+    def test_image_match_vs_wrong_class(self, scenes):
+        """Reference per-image counting: a pose matching a GT of a DIFFERENT
+        class must not count (ref any-match is class-restricted here; the
+        reference evaluates one object per run so classes always agree)."""
+        import os
+
+        import numpy as np
+
+        from clean_pvnet_tpu.data.coco import CocoIndex
+        from clean_pvnet_tpu.eval.tless import TlessEvaluator
+        from clean_pvnet_tpu.utils.ply import load_ply
+
+        coco = CocoIndex(scenes["scenes_json"])
+        root = os.path.dirname(scenes["scenes_json"])
+        class_models = []
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("obj_"):
+                continue
+            ply = load_ply(os.path.join(root, d, f"{d}.ply"))
+            pts = ply["pts"]
+            dia = float(np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1).max()))
+            class_models.append({"pts": pts, "diameter": dia})
+        ev = TlessEvaluator(Config(), class_models, (96, 128))
+        img_id = coco.get_img_ids()[0]
+        gt = [
+            {"cls": a["category_id"] - 1,
+             "pose": np.asarray(a["pose"], np.float32),
+             "K": np.asarray(a["K"], np.float32)}
+            for a in coco.load_anns(img_id)
+        ]
+        # perfect pose but wrong class → 0
+        ev.evaluate_image(
+            gt, [{"cls": (gt[0]["cls"] + 1) % 2, "pose": gt[0]["pose"]}]
+        )
+        # one matching prediction among several GT instances → 1 (any-match)
+        ev.evaluate_image(gt, [{"cls": gt[0]["cls"], "pose": gt[0]["pose"]}])
+        assert ev.adi == [False, True]
+        assert ev.cmd5 == [False, True]
+        m = ev.summarize()
+        assert m["adi"] == 0.5
+
+    def test_driver_icp_and_vsd(self, scenes):
+        """End-to-end driver wiring with depth: predicted masks warp back to
+        the frame, poses get two-stage ICP, VSD + icp_* metrics appear."""
+        import os
+
+        import numpy as np
+        from PIL import Image
+
+        from clean_pvnet_tpu.data.coco import CocoIndex
+        from clean_pvnet_tpu.eval.icp import ICPRefiner
+        from clean_pvnet_tpu.eval.tless import (
+            TlessEvaluator,
+            TlessPoseEvalDriver,
+        )
+        from clean_pvnet_tpu.utils.image import warp_affine
+        from clean_pvnet_tpu.utils.ply import load_ply
+
+        coco = CocoIndex(scenes["scenes_json"])
+        root = os.path.dirname(scenes["scenes_json"])
+        class_models, class_meshes = [], []
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("obj_"):
+                continue
+            ply = load_ply(os.path.join(root, d, f"{d}.ply"))
+            pts = ply["pts"]
+            dia = float(np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1).max()))
+            class_models.append({"pts": pts, "diameter": dia})
+            class_meshes.append((pts, ply["faces"]))
+        hw = (96, 128)
+        cfg = Config().with_overrides({"test.vsd": True, "test.icp": True})
+        refiners = [ICPRefiner(v, f, hw, n_points=256) for v, f in class_meshes]
+        ev = TlessEvaluator(cfg, class_models, hw, vsd_meshes=class_meshes)
+        driver = TlessPoseEvalDriver(cfg, ev, coco, icp_refiners=refiners)
+
+        S = 32
+        n_fed = 0
+        for img_id in coco.get_img_ids():
+            info = coco.load_img(img_id)
+            assert "depth_path" in info  # generator now writes scene depth
+            seg = np.asarray(Image.open(
+                os.path.join(root, "mask", f"{img_id:05d}.png")))
+            for a in coco.load_anns(img_id):
+                pose = np.asarray(a["pose"], np.float32)
+                noisy = pose.copy()
+                noisy[:, 3] += np.array([0.002, -0.002, 0.004], np.float32)
+                x, y, w_, h_ = a["bbox"]
+                center = (x + w_ / 2.0, y + h_ / 2.0)
+                size = max(max(w_, h_) * 1.8, 8.0)
+                M = crop_transform(center, size, S)
+                m_crop = warp_affine(
+                    (seg == a["inst_id"]).astype(np.uint8), M, (S, S),
+                    interp="nearest",
+                )
+                driver.evaluate(
+                    {"pose": noisy[None], "mask": m_crop[None]},
+                    {
+                        "img_id": [img_id],
+                        "meta": [{
+                            "cls": a["category_id"] - 1,
+                            "score": 1.0,
+                            "crop_center": center,
+                            "crop_size": size,
+                        }],
+                    },
+                )
+                n_fed += 1
+        assert n_fed > 0
+        m = driver.summarize()
+        for k in ("adi", "cmd5", "vsd", "icp_adi", "icp_cmd5", "icp_vsd"):
+            assert k in m, f"missing {k} in {m}"
+            assert 0.0 <= m[k] <= 1.0
+        # ~5mm offset is inside 0.1·diameter (~12-16mm) and 5cm/5°
+        assert m["adi"] == 1.0
+        assert m["cmd5"] == 1.0
+        # ICP must not make the near-perfect poses worse
+        assert m["icp_adi"] == 1.0

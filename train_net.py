@@ -135,10 +135,12 @@ def build_eval_tless_pose(cfg, model):
     from clean_pvnet_tpu.eval.metrics import mesh_diameter
 
     class_models = []
+    class_meshes = []
     for d in class_dirs:
         ply = load_ply(os.path.join(root, d, f"{d}.ply"))
         pts = ply["pts"]
         class_models.append({"pts": pts, "diameter": mesh_diameter(pts)})
+        class_meshes.append((pts, ply.get("faces")))
 
     # kpt_3d must come from the evaluated class, not whichever annotation
     # happens to be first in the json
@@ -169,9 +171,34 @@ def build_eval_tless_pose(cfg, model):
         )
         return (A @ K).astype(np.float32)
 
-    evaluator = TlessEvaluator(cfg, class_models, hw)
+    # depth-dependent refinement/metrics (ref tless_test/pvnet.py:60-61:
+    # one renderer-backed refiner per evaluated object; VSD renders both
+    # est and GT depth per mesh)
+    vsd_meshes = None
+    if cfg.test.vsd:
+        missing = [i for i, (_, f) in enumerate(class_meshes) if f is None]
+        if missing:
+            print("warning: test.vsd set but class meshes lack faces "
+                  f"({missing}); skipping VSD")
+        else:
+            vsd_meshes = class_meshes
+    icp_refiners = None
+    if cfg.test.icp:
+        from clean_pvnet_tpu.eval.icp import ICPRefiner
+
+        icp_refiners = [
+            ICPRefiner(verts, faces, hw) if faces is not None else None
+            for verts, faces in class_meshes
+        ]
+        if all(r is None for r in icp_refiners):
+            print("warning: test.icp set but no class mesh has faces; "
+                  "skipping ICP refinement")
+            icp_refiners = None
+
+    evaluator = TlessEvaluator(cfg, class_models, hw, vsd_meshes=vsd_meshes)
     driver = TlessPoseEvalDriver(cfg, evaluator, ds.coco,
-                                 cls_filter=cls_filter, crop_K=crop_K)
+                                 cls_filter=cls_filter, crop_K=crop_K,
+                                 icp_refiners=icp_refiners)
     return loader, pipeline, driver
 
 
