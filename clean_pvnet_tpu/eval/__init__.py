@@ -12,7 +12,11 @@ from clean_pvnet_tpu.eval.tless import (  # noqa: F401
     detection_ap,
     detection_map,
 )
-from clean_pvnet_tpu.eval.vsd import vsd_error, vsd_pose_error  # noqa: F401
+from clean_pvnet_tpu.eval.vsd import (  # noqa: F401
+    cou_pose_error,
+    vsd_error,
+    vsd_pose_error,
+)
 from clean_pvnet_tpu.eval.icp import ICPRefiner  # noqa: F401
 from clean_pvnet_tpu.registry import EVALUATORS  # noqa: F401
 

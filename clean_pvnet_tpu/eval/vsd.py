@@ -68,6 +68,26 @@ def vsd_error(
     return jnp.where(union_count > 0, err, 1.0)
 
 
+@partial(jax.jit, static_argnames=("hw", "face_chunk"))
+def cou_pose_error(
+    pose_est: jax.Array,
+    pose_gt: jax.Array,
+    verts: jax.Array,
+    faces: jax.Array,
+    K: jax.Array,
+    hw: tuple[int, int],
+    face_chunk: int = 256,
+) -> jax.Array:
+    """Complement-over-Union pose error (ref pysixd/pose_error.py:86-118):
+    1 − IoU of the silhouettes rendered under the estimated and GT poses.
+    Both renders + the mask IoU run in one fixed-shape XLA program."""
+    mask_est = render_depth_jax(verts, faces, K, pose_est, hw, face_chunk) > 0
+    mask_gt = render_depth_jax(verts, faces, K, pose_gt, hw, face_chunk) > 0
+    inter = jnp.sum(mask_est & mask_gt)
+    union = jnp.sum(mask_est | mask_gt)
+    return jnp.where(union > 0, 1.0 - inter / jnp.maximum(union, 1), 1.0)
+
+
 @partial(jax.jit, static_argnames=("hw", "cost_type", "face_chunk"))
 def vsd_pose_error(
     pose_est: jax.Array,

@@ -14,3 +14,7 @@ from clean_pvnet_tpu.geometry.pnp import (  # noqa: F401
     solve_pnp,
     solve_pnp_uncertainty,
 )
+from clean_pvnet_tpu.geometry.view_sampler import (  # noqa: F401
+    hinter_sampling,
+    sample_views,
+)
