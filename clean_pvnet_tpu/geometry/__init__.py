@@ -13,6 +13,7 @@ from clean_pvnet_tpu.geometry.fps import farthest_point_sampling  # noqa: F401
 from clean_pvnet_tpu.geometry.pnp import (  # noqa: F401
     solve_pnp,
     solve_pnp_uncertainty,
+    solve_pnp_uncertainty_scalar,
 )
 from clean_pvnet_tpu.geometry.view_sampler import (  # noqa: F401
     hinter_sampling,

@@ -204,3 +204,35 @@ def solve_pnp_uncertainty(
     all_bad = jnp.all(bad)
     W = jnp.where(all_bad, jnp.broadcast_to(jnp.eye(2), W.shape), W)
     return solve_pnp(pts3d, pts2d, K, weights=W, iters=iters)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def solve_pnp_uncertainty_scalar(
+    pts3d: jax.Array,
+    pts2d: jax.Array,
+    covars: jax.Array,
+    K: jax.Array,
+    iters: int = 30,
+) -> jax.Array:
+    """Scalar-weight variant of uncertainty PnP.
+
+    Mirrors reference `uncertainty_pnp_v2` (lib/csrc/uncertainty_pnp/
+    un_pnp_utils.py:60-121): each keypoint's 2×2 covariance collapses to one
+    isotropic weight 1/λ_max (largest eigenvalue), zeroed when degenerate
+    (cov_xx < 1e-5). The eigenvalue of an SPD 2×2 is closed-form, so the
+    whole thing stays jittable/vmap-able (the reference loops per keypoint
+    on the host and seeds OpenCV P3P; here the shared DLT init in solve_pnp
+    plays that role).
+    """
+    a = covars[..., 0, 0]
+    b = covars[..., 0, 1]
+    c = covars[..., 1, 1]
+    lam_max = 0.5 * (a + c) + jnp.sqrt(
+        jnp.clip(0.25 * (a - c) ** 2 + b * b, 0.0, None)
+    )
+    bad = (a < 1e-5) | jnp.isnan(lam_max)
+    w = jnp.where(bad, 0.0, 1.0 / jnp.clip(lam_max, 1e-12, None))
+    # all-degenerate guard: fall back to unweighted
+    w = jnp.where(jnp.all(bad), jnp.ones_like(w), w)
+    W = w[..., None, None] * jnp.eye(2)
+    return solve_pnp(pts3d, pts2d, K, weights=W, iters=iters)

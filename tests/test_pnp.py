@@ -150,6 +150,49 @@ class TestUncertaintyPnP:
         r_deg, t_err = pose_errors(pred, rt)
         assert r_deg < 0.1 and t_err < 1e-3
 
+    def test_scalar_variant_downweights_bad_keypoints(self, rng):
+        # uncertainty_pnp_v2 semantics (ref un_pnp_utils.py:60-121): weight
+        # 1/λ_max per keypoint, zeroed when cov_xx < 1e-5
+        from clean_pvnet_tpu.geometry import solve_pnp_uncertainty_scalar
+
+        pts3d, pts2d, rt = make_problem(rng, n=9)
+        pts2d_bad = pts2d.copy()
+        pts2d_bad[2] += 50.0
+        covars = np.tile(np.eye(2, dtype=np.float32) * 0.5, (9, 1, 1))
+        covars[2] = np.eye(2) * 1e4
+        covars[7] *= 0.0  # degenerate → weight 0
+
+        pred = np.asarray(
+            solve_pnp_uncertainty_scalar(
+                jnp.asarray(pts3d), jnp.asarray(pts2d_bad), jnp.asarray(covars), K
+            )
+        )
+        pred_u = np.asarray(
+            solve_pnp(jnp.asarray(pts3d), jnp.asarray(pts2d_bad), K)
+        )
+        rw, tw = pose_errors(pred, rt)
+        _, tu = pose_errors(pred_u, rt)
+        assert tw < tu
+        assert rw < 2.0 and tw < 0.01, (rw, tw)
+
+    def test_scalar_variant_anisotropic_cov_uses_worst_axis(self, rng):
+        # λ_max of an anisotropic covariance dominates the weight: a keypoint
+        # noisy along one axis is trusted as little as its worst axis
+        from clean_pvnet_tpu.geometry import solve_pnp_uncertainty_scalar
+
+        pts3d, pts2d, rt = make_problem(rng, n=9)
+        covars = np.tile(np.eye(2, dtype=np.float32), (9, 1, 1))
+        covars[4] = np.array([[1e4, 0.0], [0.0, 1e-2]], np.float32)
+        pts2d_bad = pts2d.copy()
+        pts2d_bad[4, 0] += 45.0  # corrupt along the noisy axis
+        pred = np.asarray(
+            solve_pnp_uncertainty_scalar(
+                jnp.asarray(pts3d), jnp.asarray(pts2d_bad), jnp.asarray(covars), K
+            )
+        )
+        rw, tw = pose_errors(pred, rt)
+        assert rw < 2.0 and tw < 0.01, (rw, tw)
+
 
 class TestOpenCVParity:
     """SURVEY.md §7 hard-part #2: LM convergence parity with OpenCV's

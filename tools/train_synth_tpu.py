@@ -35,6 +35,9 @@ from clean_pvnet_tpu.utils.ply import load_ply
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore existing checkpoints (restart training)")
     ap.add_argument("--n_train", type=int, default=160)
     ap.add_argument("--n_test", type=int, default=40)
     ap.add_argument("--batch", type=int, default=8)
@@ -85,7 +88,7 @@ def main():
             "train.milestones": tuple(
                 int(args.epochs * f) for f in (0.5, 0.75, 0.9)
             ),
-            "train.num_workers": 2,
+            "train.num_workers": args.workers,
             "train.rotate_min": -args.rotate,
             "train.rotate_max": args.rotate,
             "train.resize_ratio_min": 1.0 - args.resize_jitter,
@@ -99,7 +102,8 @@ def main():
 
     train_ds = LinemodDataset(cfg, synth["train_json"], split="train",
                               host_vertex=False)
-    loader = DataLoader(train_ds, args.batch, buckets=(hw,), num_workers=2)
+    loader = DataLoader(train_ds, args.batch, buckets=(hw,),
+                        num_workers=args.workers)
     trainer = Trainer(cfg, model, steps_per_epoch=len(loader), mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(0), (1, hw[0], hw[1], 3))
 
@@ -141,7 +145,8 @@ def main():
 
     ckpt = CheckpointIO(os.path.join(args.root, "ckpt"))
     begin_epoch = -1
-    state, begin_epoch = ckpt.restore(state)
+    if not args.fresh:
+        state, begin_epoch = ckpt.restore(state)
     if begin_epoch >= 0:
         print(f"resumed from epoch {begin_epoch}")
 
