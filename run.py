@@ -272,6 +272,30 @@ def run_tless(cfg, args):
     print({k: v for k, v in meta.items() if isinstance(v, (str, int, float))})
 
 
+def run_tless_real(cfg, args):
+    """Convert REAL T-LESS data (BOP-classic primesense layout) to pose
+    COCO jsons: per-object train sets with symmetry-rectified poses and
+    multi-instance test scenes with rendered visibility masks
+    (ref run.py:174-190, lib/datasets/tless/tless_to_coco.py,
+    handle_test_data.py). Uses --n_classes as the object/scene count."""
+    from tools.dataset_converters import tless_test_to_coco, tless_train_to_coco
+
+    root = os.path.join(cfg.data_root, "tless")
+    for obj_id in range(1, args.n_classes + 1):
+        obj_dir = os.path.join(root, "train_primesense", f"{obj_id:02d}")
+        if not os.path.isdir(obj_dir):
+            print(f"skip obj {obj_id}: {obj_dir} not found")
+            continue
+        print("train:", tless_train_to_coco(root, obj_id))
+    scene_ids = [
+        s for s in range(1, args.n_classes + 1)
+        if os.path.isdir(os.path.join(root, "test_primesense", f"{s:02d}"))
+    ]
+    if scene_ids:
+        out = os.path.join(root, "cache", "test.json")
+        print("test:", tless_test_to_coco(root, scene_ids, out))
+
+
 def run_render(cfg, args):
     """Render color+depth of the object mesh from a random pose with the
     z-buffer rasterizer (ref run.py --type render / opengl renderers)."""
@@ -356,6 +380,7 @@ COMMANDS = {
     "custom": run_custom,
     "linemod": run_linemod,
     "tless": run_tless,
+    "tless_real": run_tless_real,
     "render": run_render,
     "visualize_train": run_visualize_train,
     "detector_pvnet": run_detector_pvnet,
