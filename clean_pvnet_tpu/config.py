@@ -88,6 +88,11 @@ class VotingConfig:
     un_max_pixels: int = 8192     # ref max_num=30000 (dynamic); static budget here
     cov_hypotheses: int = 4096    # ref min_hyp_num
     cov_inlier_thresh: float = 0.99
+    # projective (vanishing-point) decode for truncated objects — the
+    # 3-component hypothesis kernels the reference ships but never wires
+    # (ref ransac_voting_kernel.cu:170-310). Keypoints outside the crop stay
+    # usable; ones near infinity (|z|≈0) are masked out of PnP.
+    projective: bool = False
 
 
 @dataclass(frozen=True)

@@ -66,7 +66,17 @@ class InferencePipeline:
                 inp = (inp.astype(jnp.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
             out = self.model.apply(variables, inp, train=False)
             dec = decode_keypoints(out["seg"], out["vertex"], key, cfg, un_pnp=un_pnp)
-            if un_pnp:
+            if cfg.voting.projective:
+                # truncation decode: keypoints voted to (near-)infinity carry
+                # no PnP constraint — weight each residual by validity.
+                eye = jnp.eye(2, dtype=jnp.float32)
+                wgt = dec["kpt_valid"].astype(jnp.float32)[..., None, None] * eye
+                pose = jax.vmap(
+                    lambda k2, w, k: solve_pnp(
+                        kpt_3d, k2, k, weights=w, iters=lm_iters
+                    )
+                )(dec["kpt_2d"], wgt, K)
+            elif un_pnp:
                 pose = jax.vmap(
                     lambda k2, var, k: solve_pnp_uncertainty(
                         kpt_3d, k2, var, k, iters=lm_iters

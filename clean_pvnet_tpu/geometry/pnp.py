@@ -26,8 +26,14 @@ import jax.numpy as jnp
 from clean_pvnet_tpu.geometry.transforms import hat, angle_axis_to_matrix
 
 
-def dlt_init(pts3d: jax.Array, rays: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """DLT initialization; pts3d [N,3], rays [N,2] -> (R [3,3], t [3])."""
+def dlt_init(
+    pts3d: jax.Array, rays: jax.Array, w: jax.Array | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """DLT initialization; pts3d [N,3], rays [N,2] -> (R [3,3], t [3]).
+
+    `w` [N]: optional per-correspondence row weights — zero drops a point
+    from the least-squares system (used when a voted keypoint is invalid,
+    e.g. at infinity in the projective/truncation decode)."""
     n = pts3d.shape[0]
     mean = jnp.mean(pts3d, 0)
     scale = jnp.sqrt(jnp.mean(jnp.sum((pts3d - mean) ** 2, -1))) + 1e-12
@@ -45,6 +51,11 @@ def dlt_init(pts3d: jax.Array, rays: jax.Array) -> tuple[jax.Array, jax.Array]:
         ],
         0,
     )
+    if w is not None:
+        # all-zero guard: fall back to unweighted rather than a null system
+        w = jnp.where(jnp.all(w <= 0), jnp.ones_like(w), w)
+        w = w / jnp.maximum(jnp.max(w), 1e-12)
+        A = A * jnp.tile(w, 2)[:, None]
     ata = A.T @ A
     _, vecs = jnp.linalg.eigh(ata)
     P = vecs[:, 0].reshape(3, 4)
@@ -150,7 +161,12 @@ def solve_pnp(
     n = pts3d.shape[0]
     Kinv = jnp.linalg.inv(K)
     rays = (jnp.concatenate([pts2d, jnp.ones((n, 1))], -1) @ Kinv.T)[:, :2]
-    R0, t0 = dlt_init(pts3d, rays)
+    w_row = None
+    if weights is not None:
+        # scalar row weight per correspondence for the (linear) DLT init;
+        # the LM refinement below uses the full 2×2 weights
+        w_row = 0.5 * (weights[:, 0, 0] + weights[:, 1, 1])
+    R0, t0 = dlt_init(pts3d, rays, w_row)
     W = jnp.broadcast_to(jnp.eye(2), (n, 2, 2)) if weights is None else weights
     R, t = _lm_refine(pts3d, pts2d, K, W, R0, t0, iters, 1e-3, 10.0, 0.1)
     return jnp.concatenate([R, t[:, None]], -1)

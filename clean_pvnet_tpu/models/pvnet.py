@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from clean_pvnet_tpu.config import Config
 from clean_pvnet_tpu.models.resnet import ResNetStride8
 from clean_pvnet_tpu.ops.voting import ransac_vote, estimate_voting_distribution
+from clean_pvnet_tpu.ops.voting_vanish import ransac_vote_projective
 from clean_pvnet_tpu.registry import NETWORKS
 
 
@@ -140,6 +141,37 @@ def decode_keypoints(
     mask = jnp.argmax(seg, -1)
     vtx = vertex.reshape(b, h, w, vn, 2)
     keys = jax.random.split(key, b)
+
+    if v.projective:
+        # truncation-tolerant decode: homogeneous hypotheses, so keypoints
+        # pushed outside (or to infinity of) the crop still vote coherently
+        # (ref ransac_voting_kernel.cu:170-310, shipped unwired upstream).
+        hom, ratio = jax.vmap(
+            lambda m, vv, k: ransac_vote_projective(
+                m,
+                vv,
+                k,
+                num_hypotheses=v.num_hypotheses,
+                inlier_thresh=v.inlier_thresh,
+                max_pixels=v.max_pixels,
+                min_pixels=v.min_pixels,
+            )
+        )(mask, vtx, keys)
+        z = hom[..., 2]
+        # finite ⇔ the intersection isn't (numerically) a vanishing direction
+        finite = jnp.abs(z) > 1e-6 * jnp.maximum(
+            jnp.max(jnp.abs(hom[..., :2]), -1), 1.0
+        )
+        kpt_2d = hom[..., :2] / jnp.where(finite, z, 1.0)[..., None]
+        kpt_valid = finite & (ratio > 0)
+        return {
+            "mask": mask,
+            "kpt_2d": jnp.where(kpt_valid[..., None], kpt_2d, 0.0),
+            "kpt_hom": hom,
+            "inlier_ratio": ratio,
+            "kpt_valid": kpt_valid,
+            "valid": jnp.any(kpt_valid, -1),
+        }
 
     if not un_pnp:
         res = jax.vmap(

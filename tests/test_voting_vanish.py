@@ -85,3 +85,93 @@ class TestProjectiveHypotheses:
         p = np.asarray(pts)[0]
         xy = p[:2] / p[2]
         np.testing.assert_allclose(xy, kpt[0], rtol=0.02, atol=2.0)
+
+
+class TestProjectiveDecodePath:
+    """decode_keypoints + PnP with voting.projective=true (the wiring the
+    truncation_linemod config uses; the reference ships the kernels unwired,
+    ref ransac_voting_kernel.cu:170-310)."""
+
+    def _seg(self, mask):
+        return np.stack([1.0 - 2 * mask, 2.0 * mask - 1.0], -1).astype(np.float32)
+
+    def test_decode_mixed_in_and_out_of_crop(self, rng):
+        from clean_pvnet_tpu.config import Config
+        from clean_pvnet_tpu.models import decode_keypoints
+
+        h = w = 64
+        mask = np.zeros((h, w), np.uint8)
+        mask[8:56, 8:56] = 1
+        kpt = np.array(
+            [[30.0, 30.0], [48.0, 20.0], [180.0, -70.0], [-90.0, 140.0]],
+            np.float32,
+        )
+        vertex = compute_vertex_field_np(mask, kpt)
+        cfg = Config().with_overrides(
+            {"voting.projective": True, "voting.num_hypotheses": 256,
+             "voting.max_pixels": 512}
+        )
+        out = decode_keypoints(
+            jnp.asarray(self._seg(mask)[None]), jnp.asarray(vertex[None]),
+            jax.random.PRNGKey(0), cfg,
+        )
+        assert bool(out["valid"][0])
+        got = np.asarray(out["kpt_2d"][0])
+        valid = np.asarray(out["kpt_valid"][0])
+        assert valid.all()
+        np.testing.assert_allclose(got[:2], kpt[:2], atol=1.0)
+        # truncated keypoints recovered to within a couple px even far outside
+        np.testing.assert_allclose(got[2:], kpt[2:], rtol=0.03, atol=3.0)
+
+    def test_pnp_ignores_invalid_keypoints(self, rng):
+        # weighted DLT + LM: a garbage (0,0) keypoint with zero weight must
+        # not move the solution
+        from clean_pvnet_tpu.geometry.pnp import solve_pnp
+        from clean_pvnet_tpu.geometry.transforms import angle_axis_to_matrix
+
+        n = 9
+        pts3d = rng.randn(n, 3).astype(np.float32) * 0.1
+        R = np.asarray(angle_axis_to_matrix(jnp.asarray([0.3, -0.2, 0.5])))
+        t = np.array([0.02, -0.05, 0.6], np.float32)
+        K = np.array([[520.0, 0, 64], [0, 520.0, 64], [0, 0, 1]], np.float32)
+        cam = pts3d @ R.T + t
+        proj = cam @ K.T
+        pts2d = (proj[:, :2] / proj[:, 2:]).astype(np.float32)
+
+        corrupt = pts2d.copy()
+        corrupt[3] = 0.0  # voted to "invalid" — zero weight
+        wgt = np.repeat(np.eye(2, dtype=np.float32)[None], n, 0)
+        wgt[3] = 0.0
+        pose = np.asarray(
+            solve_pnp(jnp.asarray(pts3d), jnp.asarray(corrupt),
+                      jnp.asarray(K), weights=jnp.asarray(wgt))
+        )
+        np.testing.assert_allclose(pose[:, :3], R, atol=1e-3)
+        np.testing.assert_allclose(pose[:, 3], t, atol=1e-3)
+
+    def test_projective_pipeline_jits(self, rng):
+        # the full InferencePipeline under voting.projective compiles and
+        # returns finite poses on random inputs
+        from clean_pvnet_tpu.config import Config
+        from clean_pvnet_tpu.eval import InferencePipeline
+        from clean_pvnet_tpu.models import make_network
+
+        cfg = Config().with_overrides(
+            {"voting.projective": True, "voting.num_hypotheses": 32,
+             "voting.max_pixels": 64}
+        )
+        model = make_network(cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+        )
+        kpt_3d = rng.randn(9, 3).astype(np.float32) * 0.05
+        K = np.array([[520.0, 0, 16], [0, 520.0, 16], [0, 0, 1]], np.float32)
+        pipe = InferencePipeline(cfg, model, kpt_3d)
+        out = pipe(
+            variables,
+            jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32)),
+            jnp.asarray(np.tile(K, (2, 1, 1))),
+            jax.random.PRNGKey(1),
+        )
+        assert out["pose"].shape == (2, 3, 4)
+        assert np.isfinite(np.asarray(out["pose"])).all()
