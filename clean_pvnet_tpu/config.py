@@ -141,6 +141,11 @@ class TrainConfig:
     # static train shapes: multiscale buckets replacing ImageSizeBatchSampler
     # (ref lib/datasets/samplers.py:9-43); each (h, w) compiles once.
     image_buckets: tuple = ((256, 344), (384, 512), (480, 640))
+    # run the full train-time augmentation (rotate/crop/resize/blur/jitter)
+    # on-device inside the jitted step (data/augment_device.py) — the host
+    # ships cached raw uint8 frames. For CPU-poor TPU hosts; requires a
+    # single bucket equal to the source resolution.
+    device_augment: bool = False
     # optional torch `.pth` to initialize from: a torchvision ImageNet
     # resnet18 state dict (backbone-only, the reference's pretrained init,
     # ref lib/networks/pvnet/resnet.py:223-232) or a full reference PVNet

@@ -84,6 +84,17 @@ class LinemodDataset:
         img_id = self.img_ids[index]
         img, kpt_2d, mask, ann = self.read(img_id)
 
+        if self.split == "train" and self.cfg.train.device_augment:
+            # raw path: augmentation runs on-device in the train step
+            # (data/augment_device.py); ship the cached frame as-is
+            return {
+                "inp_u8": np.ascontiguousarray(img),
+                "mask": mask.astype(np.uint8),
+                "kpt_2d": kpt_2d.astype(np.float32),
+                "img_id": img_id,
+                "meta": {"ann": ann},
+            }
+
         if self.split == "train":
             img, mask, kpt_2d = augment_pvnet(
                 img, mask, kpt_2d, height, width, self.cfg.train, self.rng

@@ -31,6 +31,20 @@ def pvnet_step_fns(cfg: Config):
     """
 
     def train_step(state: TrainState, batch: Mapping[str, jax.Array]):
+        if "inp_u8" in batch:
+            # raw frames: the full augmentation pipeline runs here on-device
+            # (data/augment_device.py) — rotate/crop/resize/blur/jitter as
+            # one fused program; host work per item is just a cache lookup
+            from clean_pvnet_tpu.data.augment_device import augment_batch_device
+
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.train.seed), state.step
+            )
+            inp, mask_gt, kpt_2d = augment_batch_device(
+                key, batch["inp_u8"], batch["mask"], batch["kpt_2d"], cfg.train
+            )
+            batch = {"inp": inp, "mask": mask_gt, "kpt_2d": kpt_2d}
+
         # vertex-field targets: precomputed on host, or — the TPU-native
         # default — derived on-device from (mask, kpt_2d), which shrinks
         # host→device traffic from a [B,H,W,2·vn] float tensor to [B,vn,2]

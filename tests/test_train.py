@@ -187,3 +187,40 @@ class TestCheckpoint:
         _, epoch = io.restore(state)
         assert epoch == -1
         io.close()
+
+
+class TestDeviceAugmentStep:
+    def test_train_step_on_raw_batch(self, rng):
+        """device_augment path: raw uint8 frames + mask + kpts go in, the
+        jitted step augments on-device and trains (data/augment_device.py)."""
+        import jax
+        import jax.numpy as jnp
+        from clean_pvnet_tpu.config import Config
+        from clean_pvnet_tpu.models import make_network
+        from clean_pvnet_tpu.parallel import make_mesh, shard_batch
+        from clean_pvnet_tpu.train import Trainer
+
+        cfg = Config().with_overrides(
+            {"network.use_bfloat16": False, "train.device_augment": True}
+        )
+        model = make_network(cfg)
+        mesh = make_mesh(num_devices=1)
+        trainer = Trainer(cfg, model, steps_per_epoch=1, mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+
+        b = 2
+        masks = np.zeros((b, 32, 32), np.uint8)
+        masks[:, 8:24, 10:26] = 1
+        batch = {
+            "inp_u8": (rng.rand(b, 32, 32, 3) * 255).astype(np.uint8),
+            "mask": masks,
+            "kpt_2d": (rng.rand(b, 9, 2) * 12 + 10).astype(np.float32),
+        }
+        batch = shard_batch(batch, mesh)
+        step0 = int(state.step)
+        state, stats = trainer._train_step(state, batch)
+        assert int(state.step) == step0 + 1
+        assert np.isfinite(float(stats["loss"]))
+        # a second step re-draws the augmentation (keyed on state.step)
+        state, stats2 = trainer._train_step(state, batch)
+        assert np.isfinite(float(stats2["loss"]))

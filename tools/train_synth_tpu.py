@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--fresh", action="store_true",
                     help="ignore existing checkpoints (restart training)")
+    ap.add_argument("--host_augment", action="store_true",
+                    help="augment on the host (the reference-style path) "
+                         "instead of on-device")
     ap.add_argument("--n_train", type=int, default=160)
     ap.add_argument("--n_test", type=int, default=40)
     ap.add_argument("--batch", type=int, default=8)
@@ -95,6 +98,9 @@ def main():
             "train.resize_ratio_max": 1.0 + args.resize_jitter,
             "voting.max_pixels": 128,
             "voting.num_hypotheses": 128,
+            # 2-core host cannot feed the chip with host-side augmentation;
+            # run the full augmentation inside the jitted step instead
+            "train.device_augment": not args.host_augment,
         }
     )
     model = make_network(cfg)
@@ -154,7 +160,8 @@ def main():
     for epoch in range(begin_epoch + 1, args.epochs):
         te = time.time()
         for batch in loader:
-            b = {k: batch[k] for k in ("inp", "mask", "kpt_2d")}
+            b = {k: batch[k]
+                 for k in ("inp", "inp_u8", "mask", "kpt_2d") if k in batch}
             state, stats = trainer._train_step(state, shard_batch(b, mesh))
         print(
             f"epoch {epoch}: loss {float(stats['loss']):.4f} "

@@ -29,13 +29,15 @@ from clean_pvnet_tpu.utils.ply import load_ply
 
 
 _TASK_BATCH_KEYS = {
-    "pvnet": ("inp", "mask", "vertex"),
+    # superset — only keys present in the batch are kept (covers the host
+    # vertex-target, on-device vertex-target, and raw/device-augment layouts)
+    "pvnet": ("inp", "inp_u8", "mask", "vertex", "kpt_2d"),
     "ct": ("inp", "ct_hm", "ct_ind", "wh", "ct_valid"),
 }
 
 
 def _strip(batch, task: str = "pvnet"):
-    return {k: batch[k] for k in _TASK_BATCH_KEYS[task]}
+    return {k: batch[k] for k in _TASK_BATCH_KEYS[task] if k in batch}
 
 
 def resolve_ann(cfg, is_train: bool) -> str:
