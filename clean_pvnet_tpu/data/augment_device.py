@@ -107,6 +107,9 @@ def sample_affine(key, mask, out_hw, train_cfg):
         # ref augmentation.py:51-57: keep ≥(1-overlap) of the instance inside
         rmax = jnp.minimum(lo_anchor + ov * f, full - t)
         rmin = jnp.maximum(lo_anchor + ov * f - t, 0.0)
+        # empty mask: crop anywhere in-frame (ref augmentation.py:94-98)
+        rmax = jnp.where(empty, jnp.maximum(full - t, 0.0), rmax)
+        rmin = jnp.where(empty, 0.0, rmin)
         u = jax.random.uniform(kk, ())
         beg = rmin + u * jnp.maximum(rmax - rmin, 0.0)
         # target ≥ source: center the frame in the larger window (ref :64-73)

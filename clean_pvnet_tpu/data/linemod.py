@@ -87,6 +87,13 @@ class LinemodDataset:
         if self.split == "train" and self.cfg.train.device_augment:
             # raw path: augmentation runs on-device in the train step
             # (data/augment_device.py); ship the cached frame as-is
+            if (height, width) != img.shape[:2]:
+                raise ValueError(
+                    "train.device_augment requires the bucket resolution to "
+                    f"equal the source frames: bucket {(height, width)} vs "
+                    f"frame {img.shape[:2]}. Use a single image_buckets "
+                    "entry matching the dataset, or host augmentation."
+                )
             return {
                 "inp_u8": np.ascontiguousarray(img),
                 "mask": mask.astype(np.uint8),

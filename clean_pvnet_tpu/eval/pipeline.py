@@ -68,9 +68,20 @@ class InferencePipeline:
             dec = decode_keypoints(out["seg"], out["vertex"], key, cfg, un_pnp=un_pnp)
             if cfg.voting.projective:
                 # truncation decode: keypoints voted to (near-)infinity carry
-                # no PnP constraint — weight each residual by validity.
+                # no PnP constraint — weight residuals by validity, and
+                # attenuate far-outside keypoints ∝ 1/distance (direction
+                # noise amplifies their position error linearly with
+                # distance, so equal weights would let one truncated
+                # keypoint dominate the LM cost).
+                h, w = inp.shape[1], inp.shape[2]
+                center = jnp.array([w / 2.0, h / 2.0], jnp.float32)
+                s = 0.5 * jnp.sqrt(jnp.float32(h * h + w * w))
+                d = jnp.linalg.norm(dec["kpt_2d"] - center, axis=-1)
+                att = jnp.minimum(1.0, s / jnp.maximum(d, 1e-6))
                 eye = jnp.eye(2, dtype=jnp.float32)
-                wgt = dec["kpt_valid"].astype(jnp.float32)[..., None, None] * eye
+                wgt = (dec["kpt_valid"].astype(jnp.float32) * att)[
+                    ..., None, None
+                ] * eye
                 pose = jax.vmap(
                     lambda k2, w, k: solve_pnp(
                         kpt_3d, k2, k, weights=w, iters=lm_iters

@@ -55,6 +55,12 @@ def dlt_init(
         # all-zero guard: fall back to unweighted rather than a null system
         w = jnp.where(jnp.all(w <= 0), jnp.ones_like(w), w)
         w = w / jnp.maximum(jnp.max(w), 1e-12)
+        # rank floor: with fewer than 6 effective correspondences the 2n×12
+        # system drops below rank 11 and eigh returns an arbitrary
+        # null-space mix. Keep every row faintly alive — valid points
+        # dominate 20×, and the LM refinement (well-posed from 4 points)
+        # uses the true zero weights.
+        w = jnp.maximum(w, 0.05)
         A = A * jnp.tile(w, 2)[:, None]
     ata = A.T @ A
     _, vecs = jnp.linalg.eigh(ata)

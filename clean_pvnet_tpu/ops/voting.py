@@ -153,13 +153,13 @@ def _count_inliers(hyp, direct, coords, valid, inlier_thresh, hyp_chunk):
     )
 
 
-def _refit(win_pts, direct, coords, valid, inlier_thresh):
-    """Weighted LS ray-intersection refit on the winners' inliers.
+def refit_ls(w, direct, coords):
+    """Weighted LS ray-intersection: minimize Σ w·d_perp² over the rays.
 
-    (ref ransac_voting_gpu.py:177-198). win_pts [vn, 2] -> ([vn, 2], [vn]).
-    """
-    inl = _inlier_mask(win_pts[None], direct, coords, valid, inlier_thresh)[0]
-    w = inl.astype(jnp.float32)  # [vn, T]
+    w [vn, T] per-ray weights, direct [T, vn, 2], coords [T, 2] →
+    (points [vn, 2], ok [vn]) — `ok` false where the 2×2 normal equations
+    are degenerate. The solve at the heart of the reference's winner refit
+    (ref ransac_voting_gpu.py:177-198)."""
     normal = jnp.stack(
         [jnp.swapaxes(direct[..., 1], 0, 1), -jnp.swapaxes(direct[..., 0], 0, 1)], -1
     )  # [vn, T, 2]
@@ -180,7 +180,15 @@ def _refit(win_pts, direct, coords, valid, inlier_thresh):
         )
         / safe_det[:, None, None]
     )
-    refined = jnp.einsum("vij,vj->vi", inv, ATb)
+    return jnp.einsum("vij,vj->vi", inv, ATb), ok
+
+
+def _refit(win_pts, direct, coords, valid, inlier_thresh):
+    """Winner refit on its inliers (ref ransac_voting_gpu.py:177-198).
+    win_pts [vn, 2] -> ([vn, 2], [vn])."""
+    inl = _inlier_mask(win_pts[None], direct, coords, valid, inlier_thresh)[0]
+    w = inl.astype(jnp.float32)  # [vn, T]
+    refined, ok = refit_ls(w, direct, coords)
     refined = jnp.where(ok[:, None], refined, win_pts)
     ratio = jnp.sum(w, -1) / jnp.maximum(jnp.sum(valid), 1)
     return refined, ratio

@@ -18,7 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from clean_pvnet_tpu.ops.voting import select_foreground
+from clean_pvnet_tpu.ops.voting import refit_ls, select_foreground
 
 
 def generate_hypotheses_projective(
@@ -111,5 +111,25 @@ def ransac_vote_projective(
     win = jnp.argmax(counts, 0)
     win_pts = hyp[win, jnp.arange(vn)]
     ratio = counts[win, jnp.arange(vn)].astype(jnp.float32) / jnp.maximum(tv, 1)
+
+    # subpixel refit on the winner's inliers for FINITE winners (same LS
+    # ray-intersection as the standard path's _refit); near-vanishing
+    # winners (|z|≈0) have no finite intersection and keep the raw
+    # hypothesis. Without this, keypoint accuracy is capped at the best
+    # random pixel-pair intersection.
+    w = inlier_mask_projective(
+        win_pts[None], direct, coords, valid, inlier_thresh
+    )[0].astype(jnp.float32)
+    refined, ok = refit_ls(w, direct, coords)
+    z = win_pts[..., 2]
+    finite = jnp.abs(z) > 1e-6 * jnp.maximum(
+        jnp.max(jnp.abs(win_pts[..., :2]), -1), 1.0
+    )
+    use = finite & ok
+    hom_refined = jnp.concatenate(
+        [refined, jnp.ones_like(refined[..., :1])], -1
+    )
+    win_pts = jnp.where(use[:, None], hom_refined, win_pts)
+
     win_pts = jnp.where(enough, win_pts, 0.0)
     return win_pts, jnp.where(enough, ratio, 0.0)

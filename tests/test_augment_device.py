@@ -89,9 +89,7 @@ class TestSampleAffine:
         kh = np.concatenate([kpt, np.ones((2, 1), np.float32)], -1)
         kw = kh @ np.asarray(A_fwd).T
         for gt in kw:
-            y, x = np.unravel_index(np.argmax(warped), warped.shape)
-            # nearest bright blob to this keypoint
-            d = np.sqrt((gt[0] - x) ** 2 + (gt[1] - y) ** 2)
+            # nearest bright blob to this transformed keypoint
             ys, xs = np.nonzero(warped > warped.max() * 0.2)
             d = np.sqrt((xs - gt[0]) ** 2 + (ys - gt[1]) ** 2).min()
             assert d < 1.5

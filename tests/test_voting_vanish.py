@@ -175,3 +175,47 @@ class TestProjectiveDecodePath:
         )
         assert out["pose"].shape == (2, 3, 4)
         assert np.isfinite(np.asarray(out["pose"])).all()
+
+    def test_pnp_five_valid_keypoints(self, rng):
+        # rank regression: with <6 valid correspondences a purely
+        # zero-weighted DLT is rank-deficient and used to return garbage;
+        # the floored init + zero-weight LM must still recover the pose
+        from clean_pvnet_tpu.geometry.pnp import solve_pnp
+        from clean_pvnet_tpu.geometry.transforms import angle_axis_to_matrix
+
+        n = 9
+        pts3d = rng.randn(n, 3).astype(np.float32) * 0.1
+        R = np.asarray(angle_axis_to_matrix(jnp.asarray([-0.4, 0.25, 0.1])))
+        t = np.array([-0.03, 0.04, 0.55], np.float32)
+        K = np.array([[520.0, 0, 64], [0, 520.0, 64], [0, 0, 1]], np.float32)
+        cam = pts3d @ R.T + t
+        proj = cam @ K.T
+        pts2d = (proj[:, :2] / proj[:, 2:]).astype(np.float32)
+
+        corrupt = pts2d.copy()
+        corrupt[5:] = 0.0
+        wgt = np.repeat(np.eye(2, dtype=np.float32)[None], n, 0)
+        wgt[5:] = 0.0
+        pose = np.asarray(
+            solve_pnp(jnp.asarray(pts3d), jnp.asarray(corrupt),
+                      jnp.asarray(K), weights=jnp.asarray(wgt))
+        )
+        np.testing.assert_allclose(pose[:, :3], R, atol=2e-3)
+        np.testing.assert_allclose(pose[:, 3], t, atol=2e-3)
+
+    def test_refit_gives_subpixel_out_of_crop(self, rng):
+        # with the winner refit, a finite out-of-crop keypoint is recovered
+        # to subpixel despite the 2-ray hypotheses being pixel-noisy
+        h = w = 64
+        mask = np.zeros((h, w), np.uint8)
+        mask[8:56, 8:56] = 1
+        kpt = np.array([[150.0, -40.0]], np.float32)
+        vertex = compute_vertex_field_np(mask, kpt).reshape(h, w, 1, 2)
+        pts, ratio = ransac_vote_projective(
+            jnp.asarray(mask), jnp.asarray(vertex), jax.random.PRNGKey(2),
+            num_hypotheses=128, max_pixels=256,
+        )
+        p = np.asarray(pts)[0]
+        xy = p[:2] / p[2]
+        np.testing.assert_allclose(xy, kpt[0], atol=0.2)
+        assert float(ratio[0]) > 0.5

@@ -29,15 +29,24 @@ from clean_pvnet_tpu.utils.ply import load_ply
 
 
 _TASK_BATCH_KEYS = {
-    # superset — only keys present in the batch are kept (covers the host
-    # vertex-target, on-device vertex-target, and raw/device-augment layouts)
+    # pvnet keys are a superset (host vertex-target, on-device vertex-target,
+    # and raw/device-augment layouts); ct stays strict so a malformed batch
+    # fails here, not deep inside the jitted step
     "pvnet": ("inp", "inp_u8", "mask", "vertex", "kpt_2d"),
     "ct": ("inp", "ct_hm", "ct_ind", "wh", "ct_valid"),
 }
 
 
 def _strip(batch, task: str = "pvnet"):
-    return {k: batch[k] for k in _TASK_BATCH_KEYS[task] if k in batch}
+    keys = _TASK_BATCH_KEYS[task]
+    if task == "pvnet":
+        out = {k: batch[k] for k in keys if k in batch}
+        if ("inp" not in out and "inp_u8" not in out) or "mask" not in out:
+            raise KeyError(
+                f"pvnet batch must carry (inp|inp_u8) and mask; got {sorted(batch)}"
+            )
+        return out
+    return {k: batch[k] for k in keys}
 
 
 def resolve_ann(cfg, is_train: bool) -> str:
