@@ -5,3 +5,9 @@ from clean_pvnet_tpu.ops.voting import (  # noqa: F401
     VoteResult,
 )
 from clean_pvnet_tpu.ops.nn_query import nearest_neighbor_dists  # noqa: F401
+from clean_pvnet_tpu.ops.dcn import (  # noqa: F401
+    DCN,
+    DCNPooling,
+    deform_conv2d,
+    deform_psroi_pool,
+)

@@ -97,6 +97,128 @@ def deform_conv2d(
     return out.reshape(b, ho, wo, cout)
 
 
+def deform_psroi_pool(
+    feat: jax.Array,          # [B, H, W, C]
+    rois: jax.Array,          # [N, 5] (batch_idx, x1, y1, x2, y2) image coords
+    trans: jax.Array | None,  # [N, 2, P, P] per-part (dx, dy), or None
+    *,
+    pooled_size: int,
+    spatial_scale: float,
+    sample_per_part: int = 4,
+    trans_std: float = 0.0,
+) -> jax.Array:
+    """Deformable position-sensitive ROI pooling forward (NHWC).
+
+    TPU-native counterpart of the reference's second dcn_v2 kernel
+    (ref lib/csrc/dcn_v2/src/cuda/dcn_v2_psroi_pooling_cuda.cu:58-146
+    DeformablePSROIPoolForwardKernel) in the configuration its Python
+    wrapper uses (group_size=1, part_size=pooled_size, one class —
+    ref lib/networks/dcn_v2.py:187-220): each pooled bin is shifted by a
+    per-part normalized offset, sampled at sample_per_part² bilinear taps,
+    and averaged over the in-bounds taps. Backward comes from autodiff
+    (the gather transposes to the CUDA scatter-add backward kernel).
+
+    Returns [N, pooled_size, pooled_size, C].
+    """
+    _, hgt, wid, _ = feat.shape
+    p = pooled_size
+    s = sample_per_part
+    rois = rois.astype(jnp.float32)
+
+    iy = jax.lax.broadcasted_iota(jnp.float32, (p, p), 0)   # ph
+    ix = jax.lax.broadcasted_iota(jnp.float32, (p, p), 1)   # pw
+
+    def one_roi(roi, tr):
+        b_idx = roi[0].astype(jnp.int32)
+        # round + half-pixel shift exactly as the kernel (:90-93)
+        start_w = jnp.round(roi[1]) * spatial_scale - 0.5
+        start_h = jnp.round(roi[2]) * spatial_scale - 0.5
+        end_w = (jnp.round(roi[3]) + 1.0) * spatial_scale - 0.5
+        end_h = (jnp.round(roi[4]) + 1.0) * spatial_scale - 0.5
+        roi_w = jnp.maximum(end_w - start_w, 0.1)
+        roi_h = jnp.maximum(end_h - start_h, 0.1)
+        bin_w = roi_w / p
+        bin_h = roi_h / p
+        sub_w = bin_w / s
+        sub_h = bin_h / s
+
+        trans_x = tr[0] * trans_std * roi_w   # [P, P]
+        trans_y = tr[1] * trans_std * roi_h
+
+        wstart = ix * bin_w + start_w + trans_x
+        hstart = iy * bin_h + start_h + trans_y
+
+        off = (jnp.arange(s, dtype=jnp.float32))
+        shape = (p, p, s, s)
+        ws = jnp.broadcast_to(
+            wstart[..., None, None] + off[None, None, None, :] * sub_w, shape
+        )
+        hs = jnp.broadcast_to(
+            hstart[..., None, None] + off[None, None, :, None] * sub_h, shape
+        )
+        valid = (
+            (ws >= -0.5) & (ws <= wid - 0.5) & (hs >= -0.5) & (hs <= hgt - 0.5)
+        )
+        wc = jnp.clip(ws, 0.0, wid - 1.0).reshape(-1)
+        hc = jnp.clip(hs, 0.0, hgt - 1.0).reshape(-1)
+        vals = _bilinear_gather(jnp.take(feat, b_idx, axis=0), hc, wc)
+        vals = vals.reshape(p, p, s, s, -1) * valid[..., None]
+        cnt = valid.sum((-1, -2)).astype(feat.dtype)            # [P, P]
+        total = vals.sum((2, 3))                                 # [P, P, C]
+        return jnp.where(cnt[..., None] > 0, total / jnp.maximum(cnt, 1.0)[..., None], 0.0)
+
+    if trans is None:
+        trans = jnp.zeros((rois.shape[0], 2, p, p), jnp.float32)
+    return jax.vmap(one_roi)(rois, trans.astype(jnp.float32))
+
+
+class DCNPooling(nn.Module):
+    """Deformable ROI pooling that predicts its own part offsets and
+    modulation masks from a first non-deformable pooling pass through a
+    3-layer MLP with zero-initialized head, so training starts as plain
+    position-sensitive average pooling (ref lib/networks/dcn_v2.py:223-289
+    DCNPooling: roi_align → offset_mask_fc → deformable pool × sigmoid mask).
+    """
+
+    pooled_size: int
+    spatial_scale: float
+    no_trans: bool = False
+    sample_per_part: int = 4
+    trans_std: float = 0.1
+    deform_fc_dim: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, rois):
+        p = self.pooled_size
+        feat32 = feat.astype(jnp.float32)
+        base = deform_psroi_pool(
+            feat32, rois, None,
+            pooled_size=p, spatial_scale=self.spatial_scale,
+            sample_per_part=self.sample_per_part, trans_std=self.trans_std,
+        )
+        if self.no_trans:
+            return base.astype(self.dtype)
+        n = rois.shape[0]
+        x = base.reshape(n, -1)
+        x = nn.relu(nn.Dense(self.deform_fc_dim, name="fc1")(x))
+        x = nn.relu(nn.Dense(self.deform_fc_dim, name="fc2")(x))
+        om = nn.Dense(
+            3 * p * p,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="offset_mask",
+        )(x).reshape(n, 3, p, p)
+        trans = om[:, :2]                         # (dx, dy) per part
+        mask = nn.sigmoid(om[:, 2])               # [n, P, P]
+        out = deform_psroi_pool(
+            feat32, rois, trans,
+            pooled_size=p, spatial_scale=self.spatial_scale,
+            sample_per_part=self.sample_per_part, trans_std=self.trans_std,
+        )
+        return (out * mask[..., None]).astype(self.dtype)
+
+
 class DCN(nn.Module):
     """DCNv2 layer predicting its own offsets and modulation masks from a
     regular conv over the input (ref lib/networks/dcn_v2.py:103-128)."""

@@ -116,3 +116,111 @@ class TestDCNModule:
             + variables["params"]["bias"]
         )
         np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def _psroi_oracle(feat, rois, trans, pooled, scale, spp, trans_std):
+    """Literal numpy re-implementation of the reference CUDA kernel loop
+    (ref dcn_v2_psroi_pooling_cuda.cu:78-146, group_size=1, one class)."""
+    n = rois.shape[0]
+    _, H, W, C = feat.shape
+    out = np.zeros((n, pooled, pooled, C), np.float32)
+    for i in range(n):
+        b = int(rois[i, 0])
+        sw = round(rois[i, 1]) * scale - 0.5
+        sh = round(rois[i, 2]) * scale - 0.5
+        ew = (round(rois[i, 3]) + 1.0) * scale - 0.5
+        eh = (round(rois[i, 4]) + 1.0) * scale - 0.5
+        rw = max(ew - sw, 0.1)
+        rh = max(eh - sh, 0.1)
+        bw, bh = rw / pooled, rh / pooled
+        sbw, sbh = bw / spp, bh / spp
+        for ph in range(pooled):
+            for pw in range(pooled):
+                tx = trans[i, 0, ph, pw] * trans_std
+                ty = trans[i, 1, ph, pw] * trans_std
+                ws = pw * bw + sw + tx * rw
+                hs = ph * bh + sh + ty * rh
+                acc = np.zeros(C, np.float32)
+                cnt = 0
+                for ih in range(spp):
+                    for iw in range(spp):
+                        w = ws + iw * sbw
+                        h = hs + ih * sbh
+                        if w < -0.5 or w > W - 0.5 or h < -0.5 or h > H - 0.5:
+                            continue
+                        w = min(max(w, 0.0), W - 1.0)
+                        h = min(max(h, 0.0), H - 1.0)
+                        x1, y1 = int(np.floor(w)), int(np.floor(h))
+                        x2, y2 = int(np.ceil(w)), int(np.ceil(h))
+                        dx, dy = w - x1, h - y1
+                        acc += (
+                            (1 - dx) * (1 - dy) * feat[b, y1, x1]
+                            + (1 - dx) * dy * feat[b, y2, x1]
+                            + dx * (1 - dy) * feat[b, y1, x2]
+                            + dx * dy * feat[b, y2, x2]
+                        )
+                        cnt += 1
+                out[i, ph, pw] = acc / cnt if cnt else 0.0
+    return out
+
+
+class TestDeformPSROIPool:
+    @pytest.mark.parametrize("spp", [1, 4])
+    def test_matches_cuda_oracle(self, rng, spp):
+        from clean_pvnet_tpu.ops.dcn import deform_psroi_pool
+
+        feat = rng.rand(2, 12, 16, 5).astype(np.float32)
+        rois = np.array(
+            [
+                [0, 2.0, 3.0, 30.0, 20.0],    # image-coord box, scale 0.5
+                [1, 0.0, 0.0, 10.0, 10.0],
+                [0, 20.0, 12.0, 40.0, 28.0],  # extends past the right edge
+            ],
+            np.float32,
+        )
+        trans = (rng.randn(3, 2, 3, 3) * 0.5).astype(np.float32)
+        got = deform_psroi_pool(
+            jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(trans),
+            pooled_size=3, spatial_scale=0.5, sample_per_part=spp,
+            trans_std=0.2,
+        )
+        want = _psroi_oracle(feat, rois, trans, 3, 0.5, spp, 0.2)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_gradients_flow(self, rng):
+        from clean_pvnet_tpu.ops.dcn import deform_psroi_pool
+
+        feat = jnp.asarray(rng.rand(1, 8, 8, 3), jnp.float32)
+        rois = jnp.asarray([[0, 1.0, 1.0, 6.0, 6.0]], jnp.float32)
+        trans = jnp.asarray(rng.randn(1, 2, 2, 2) * 0.1, jnp.float32)
+
+        def loss(f, t):
+            return deform_psroi_pool(
+                f, rois, t, pooled_size=2, spatial_scale=1.0,
+                sample_per_part=2, trans_std=0.1,
+            ).sum()
+
+        gf, gt = jax.grad(loss, argnums=(0, 1))(feat, trans)
+        assert np.isfinite(np.asarray(gf)).all()
+        assert float(jnp.abs(gf).max()) > 0
+        assert np.isfinite(np.asarray(gt)).all()
+
+
+class TestDCNPoolingModule:
+    def test_zero_init_is_masked_average_pool(self, rng):
+        """At init the offset/mask head is zeroed (ref dcn_v2.py:256-257):
+        offsets are 0 and mask is sigmoid(0)=0.5, so the module equals the
+        plain no-trans pooling halved."""
+        from clean_pvnet_tpu.ops.dcn import DCNPooling, deform_psroi_pool
+
+        feat = jnp.asarray(rng.rand(1, 16, 16, 4), jnp.float32)
+        rois = jnp.asarray([[0, 4.0, 4.0, 24.0, 24.0]], jnp.float32)
+        layer = DCNPooling(pooled_size=3, spatial_scale=0.5, deform_fc_dim=32)
+        variables = layer.init(jax.random.PRNGKey(0), feat, rois)
+        out = layer.apply(variables, feat, rois)
+        base = deform_psroi_pool(
+            feat, rois, None, pooled_size=3, spatial_scale=0.5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base) * 0.5, atol=1e-5
+        )
