@@ -80,7 +80,9 @@ class VotingConfig:
     num_hypotheses: int = 128     # per round (ref round_hyp_num)
     num_rounds: int = 1           # static bound on adaptive rounds (ref max_iter=20)
     inlier_thresh: float = 0.99   # cos-angle threshold
-    confidence: float = 0.99      # early-exit confidence (masks later rounds)
+    confidence: float = 0.99      # while_loop early-exit: stop once every
+    #                               keypoint has 1-(1-r²)^N > confidence
+    #                               (ref ransac_voting_gpu.py:168-171)
     max_pixels: int = 128         # fixed pixel budget (ref max_num=100, dynamic)
     min_pixels: int = 5           # below this the vote is skipped (ref min_num)
     # uncertainty path (ref decode_keypoint resnet18.py:65-76)

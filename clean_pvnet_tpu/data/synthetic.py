@@ -245,6 +245,167 @@ def generate_synthetic_dataset(
     }
 
 
+def generate_stress_split(
+    root: str,
+    cls: str = "synth",
+    kind: str = "occlusion",
+    n: int = 100,
+    hw: tuple[int, int] = (480, 640),
+    seed: int = 7,
+    n_keypoints: int = 8,
+    min_visible: float = 0.15,
+) -> str:
+    """Occlusion / truncation test split over the SAME object as
+    `generate_synthetic_dataset` (same mesh seed → same fps_3d/diameter),
+    so a model trained on the standard split can be stress-tested.
+
+    kind="occlusion": 1-2 distractor meshes composited in front of the
+      target with a scene z-buffer; the annotation keeps the full GT pose
+      but the mask records only visible pixels — the Occ-LINEMOD protocol
+      (ref lib/datasets/dataset_catalog.py:20-24, paper eval on
+      LinemodOccTest).
+    kind="truncation": the target is posed so the image border cuts it,
+      like Truncation-LINEMOD (ref TRUNCATION_LINEMOD.md:1-10); keypoints
+      may project outside the frame — the projective decode's case.
+
+    Returns the written json path (`<root>/<cls>_<kind>.json`).
+    """
+    assert kind in ("occlusion", "truncation"), kind
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    K = LINEMOD_K.copy()
+    K[0] *= w / 640.0
+    K[1] *= h / 480.0
+    verts, faces, colors = make_synthetic_mesh(0)  # seed 0 = training object
+    fps_3d = farthest_point_sampling_np(verts, n_keypoints, init_center=True)
+    center_3d = (verts.max(0) + verts.min(0)) / 2.0
+    corner_3d = np.array(
+        [
+            [x, y, z]
+            for x in (verts[:, 0].min(), verts[:, 0].max())
+            for y in (verts[:, 1].min(), verts[:, 1].max())
+            for z in (verts[:, 2].min(), verts[:, 2].max())
+        ]
+    )
+    occluders = [make_synthetic_mesh(seed=200 + i, radius=0.05) for i in range(4)]
+
+    cls_dir = os.path.join(root, cls)
+    os.makedirs(os.path.join(cls_dir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(cls_dir, "mask"), exist_ok=True)
+
+    images, annotations = [], []
+    made = 0
+    attempt = 0
+    id_base = 200000 if kind == "occlusion" else 300000
+    while made < n and attempt < 20 * n:
+        attempt += 1
+        R = random_rotation(rng)
+        z = rng.uniform(0.45, 0.85)
+        if kind == "truncation":
+            # aim the object center at a frame border so ~30-60% is cut off
+            edge = rng.randint(4)
+            fx, fy = K[0, 0], K[1, 1]
+            cx, cy = K[0, 2], K[1, 2]
+            u = rng.uniform(0.05, 0.95) * w
+            v = rng.uniform(0.05, 0.95) * h
+            if edge == 0:
+                u = rng.uniform(-0.02, 0.04) * w
+            elif edge == 1:
+                u = w * (1.0 + rng.uniform(-0.04, 0.02))
+            elif edge == 2:
+                v = rng.uniform(-0.02, 0.04) * h
+            else:
+                v = h * (1.0 + rng.uniform(-0.04, 0.02))
+            x = (u - cx) / fx * z
+            y = (v - cy) / fy * z
+        else:
+            x = rng.uniform(-0.12, 0.12) * z
+            y = rng.uniform(-0.09, 0.09) * z
+        rt = np.concatenate([R, np.array([[x], [y], [z]])], -1)
+        color, dep, mask = render_mesh_np(verts, faces, K, rt, hw, colors)
+        full_area = int(mask.sum())
+        if full_area < 64:
+            continue
+
+        zbuf = np.where(mask > 0, dep, np.inf)
+        frame_color = color
+        vis = mask.astype(bool)
+        if kind == "occlusion":
+            n_occ = rng.randint(1, 3)
+            for _ in range(n_occ):
+                ov, of, oc = occluders[rng.randint(len(occluders))]
+                oR = random_rotation(rng)
+                # place the occluder in front of the target, overlapping it
+                oz = z * rng.uniform(0.7, 0.92)
+                jx = x * oz / z + rng.uniform(-0.03, 0.03) * oz
+                jy = y * oz / z + rng.uniform(-0.03, 0.03) * oz
+                ort = np.concatenate([oR, np.array([[jx], [jy], [oz]])], -1)
+                ocolor, odep, omask = render_mesh_np(ov, of, K, ort, hw, oc)
+                in_front = omask.astype(bool) & (
+                    np.where(odep > 0, odep, np.inf) < zbuf
+                )
+                zbuf = np.where(in_front, odep, zbuf)
+                frame_color = np.where(in_front[..., None], ocolor, frame_color)
+                vis = vis & ~in_front
+            visible_ratio = vis.sum() / max(full_area, 1)
+            if visible_ratio < min_visible or visible_ratio > 0.85:
+                continue  # not occluded enough / nothing left to see
+
+        bg = _background(rng, h, w)
+        covered = np.isfinite(zbuf) | vis
+        frame = np.where(covered[..., None], frame_color, bg)
+        frame = np.clip(
+            frame * rng.uniform(0.85, 1.15) + rng.randn(h, w, 3) * 0.01, 0, 1
+        )
+
+        img_id = id_base + made
+        img_path = os.path.join(cls_dir, "rgb", f"{kind}_{made:05d}.png")
+        mask_path = os.path.join(cls_dir, "mask", f"{kind}_{made:05d}.png")
+        Image.fromarray((frame * 255).astype(np.uint8)).save(img_path)
+        Image.fromarray((vis * 255).astype(np.uint8)).save(mask_path)
+
+        def proj(p):
+            c = p @ R.T + rt[:, 3]
+            q = c @ K.T
+            return (q[:, :2] / q[:, 2:]).tolist()
+
+        images.append(
+            {"id": img_id, "file_name": img_path, "height": h, "width": w}
+        )
+        annotations.append(
+            {
+                "id": img_id,
+                "image_id": img_id,
+                "category_id": 1,
+                "mask_path": mask_path,
+                "type": "real",
+                "cls": cls,
+                "pose": rt.tolist(),
+                "K": K.tolist(),
+                "fps_3d": fps_3d.tolist(),
+                "fps_2d": proj(fps_3d),
+                "center_3d": center_3d.tolist(),
+                "center_2d": proj(center_3d[None])[0],
+                "corner_3d": corner_3d.tolist(),
+                "corner_2d": proj(corner_3d),
+                "data_root": cls_dir,
+            }
+        )
+        made += 1
+
+    if made < n:
+        raise RuntimeError(f"stress split '{kind}': only {made}/{n} scenes")
+    out = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"supercategory": "none", "id": 1, "name": cls}],
+    }
+    path = os.path.join(root, f"{cls}_{kind}.json")
+    with open(path, "w") as f:
+        json.dump(out, f)
+    return path
+
+
 def generate_multiobject_dataset(
     root: str,
     num_classes: int = 3,

@@ -184,6 +184,7 @@ def decode_keypoints(
                 inlier_thresh=v.inlier_thresh,
                 max_pixels=v.max_pixels,
                 min_pixels=v.min_pixels,
+                confidence=v.confidence,
             )
         )(mask, vtx, keys)
         return {
@@ -204,6 +205,7 @@ def decode_keypoints(
             max_pixels=v.un_max_pixels,
             min_pixels=v.min_pixels,
             hyp_chunk=128,
+            confidence=v.confidence,
         )
     )(mask, vtx, keys)
     keys2 = jax.random.split(jax.random.fold_in(key, 1), b)

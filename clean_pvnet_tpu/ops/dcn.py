@@ -118,6 +118,13 @@ def deform_psroi_pool(
     and averaged over the in-bounds taps. Backward comes from autodiff
     (the gather transposes to the CUDA scatter-add backward kernel).
 
+    Gradient-semantics note: for taps in the clamp zones (ws in [-0.5, 0) or
+    (W-1, W-0.5], likewise hs) autodiff flows through jnp.clip and yields a
+    zero gradient w.r.t. `trans`, whereas the CUDA backward computes a
+    nonzero bilinear-diff gradient at the clamped coordinate. The JAX value
+    is the true derivative of this forward; the divergence only affects
+    parts sitting exactly at ROI/image edges.
+
     Returns [N, pooled_size, pooled_size, C].
     """
     _, hgt, wid, _ = feat.shape
@@ -130,11 +137,16 @@ def deform_psroi_pool(
 
     def one_roi(roi, tr):
         b_idx = roi[0].astype(jnp.int32)
-        # round + half-pixel shift exactly as the kernel (:90-93)
-        start_w = jnp.round(roi[1]) * spatial_scale - 0.5
-        start_h = jnp.round(roi[2]) * spatial_scale - 0.5
-        end_w = (jnp.round(roi[3]) + 1.0) * spatial_scale - 0.5
-        end_h = (jnp.round(roi[4]) + 1.0) * spatial_scale - 0.5
+        # round + half-pixel shift exactly as the kernel (:90-93). C round()
+        # is half-away-from-zero, NOT numpy/jnp half-to-even — a .5 ROI coord
+        # must land on the same pixel as the CUDA kernel.
+        def _round_c(x):
+            return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+        start_w = _round_c(roi[1]) * spatial_scale - 0.5
+        start_h = _round_c(roi[2]) * spatial_scale - 0.5
+        end_w = (_round_c(roi[3]) + 1.0) * spatial_scale - 0.5
+        end_h = (_round_c(roi[4]) + 1.0) * spatial_scale - 0.5
         roi_w = jnp.maximum(end_w - start_w, 0.1)
         roi_h = jnp.maximum(end_h - start_h, 0.1)
         bin_w = roi_w / p
@@ -178,6 +190,11 @@ class DCNPooling(nn.Module):
     3-layer MLP with zero-initialized head, so training starts as plain
     position-sensitive average pooling (ref lib/networks/dcn_v2.py:223-289
     DCNPooling: roi_align → offset_mask_fc → deformable pool × sigmoid mask).
+
+    Deliberate deviation: trans_std defaults to 0.1 here vs the reference
+    class default of 0.0 — a 0.0 std makes the predicted offsets inert, so
+    the deformable path would be a no-op out of the box. Pass trans_std=0.0
+    to reproduce the reference default exactly.
     """
 
     pooled_size: int

@@ -9,9 +9,12 @@ Key departures from the reference, imposed by XLA (see SURVEY.md §7):
     sampling-without-replacement of a *static* pixel budget via randomized
     top-k (`select_foreground`), with validity masks.
   * the data-dependent adaptive RANSAC round loop
-    (ransac_voting_gpu.py:150-174) → a static number of rounds; the
-    confidence early-exit becomes unnecessary because rounds are compiled,
-    not dispatched.
+    (ransac_voting_gpu.py:150-174) → a `lax.while_loop` with a *static*
+    round bound (`num_rounds`) and the reference's confidence stop
+    `1-(1-r²)^N > confidence` as the dynamic condition. XLA compiles one
+    round body; easy images exit after round 1, occluded/low-inlier images
+    spend up to num_rounds×num_hypotheses — the reference's adaptive
+    budget, without dynamic shapes.
   * the per-image Python loop over the batch → `jax.vmap`.
   * the [hn, vn, tn] inlier tensor (up to 512·9·30000 elements,
     ransac_voting_gpu.py:155) is never materialized for large budgets:
@@ -214,6 +217,7 @@ def ransac_vote(
     max_pixels: int = 128,
     min_pixels: int = 5,
     hyp_chunk: int = 0,
+    confidence: float = 0.99,
 ) -> VoteResult:
     """Single-image RANSAC voting decode. Use jax.vmap for batches.
 
@@ -223,7 +227,11 @@ def ransac_vote(
     (ref ransac_voting_gpu.py:112-199): per round generate `num_hypotheses`
     2-ray intersections per keypoint, count angular inliers over the sampled
     pixels, keep the per-keypoint winner across rounds, then refit on the
-    winner's inliers. Images with < min_pixels foreground return zeros
+    winner's inliers. Rounds run inside a `lax.while_loop` bounded by
+    `num_rounds`, with the reference's adaptive stop (ref :150-174): after
+    N cumulative hypotheses a keypoint with winner inlier ratio r is
+    confident once `1-(1-r²)^N > confidence`; the loop exits when every
+    keypoint is confident. Images with < min_pixels foreground return zeros
     (ref :128-132).
     """
     vn = vertex.shape[2]
@@ -251,10 +259,29 @@ def ransac_vote(
         win_pts = hyp[win_idx, jnp.arange(vn)]
         return win_pts, win_counts.astype(jnp.float32) / jnp.maximum(tv, 1)
 
-    keys = jax.random.split(k_hyp, num_rounds)
-    pts, ratios = jax.vmap(one_round)(keys)  # [R, vn, 2], [R, vn]
-    best = jnp.argmax(ratios, 0)  # [vn]
-    win_pts = pts[best, jnp.arange(vn)]
+    def cond_fn(carry):
+        i, _, ratios = carry
+        # confidence that the true keypoint was hit at least once in the
+        # i·num_hypotheses samples so far (ref ransac_voting_gpu.py:168-171);
+        # at i=0 this is 0 → the loop always runs at least one round.
+        conf = 1.0 - (1.0 - jnp.square(ratios)) ** (i * num_hypotheses)
+        return (i < num_rounds) & (jnp.min(conf) < confidence)
+
+    def body_fn(carry):
+        i, pts, ratios = carry
+        new_pts, new_ratios = one_round(jax.random.fold_in(k_hyp, i))
+        better = new_ratios > ratios  # per-keypoint winner carry-over
+        return (
+            i + 1,
+            jnp.where(better[:, None], new_pts, pts),
+            jnp.maximum(new_ratios, ratios),
+        )
+
+    _, win_pts, _ = jax.lax.while_loop(
+        cond_fn,
+        body_fn,
+        (jnp.int32(0), jnp.zeros((vn, 2), jnp.float32), jnp.zeros((vn,), jnp.float32)),
+    )
 
     refined, ratio = _refit(win_pts, direct, coords, valid, inlier_thresh)
     refined = jnp.where(enough, refined, 0.0)

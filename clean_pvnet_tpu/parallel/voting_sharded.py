@@ -19,7 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from clean_pvnet_tpu.ops.voting import (
@@ -96,6 +96,6 @@ def make_sharded_vote(
         mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

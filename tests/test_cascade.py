@@ -36,6 +36,7 @@ class TinyDetector:
 
 
 class TestCascade:
+    @pytest.mark.slow
     def test_end_to_end_shapes_and_crop_location(self, rng):
         from clean_pvnet_tpu.geometry import compute_vertex_field_np
 
@@ -72,6 +73,7 @@ class TestCascade:
         n_valid_scores = int(np.asarray(out["scores"][0] > 0.5).sum())
         assert n_valid_scores == 1
 
+    @pytest.mark.slow
     def test_with_real_dla(self, rng):
         """DLASeg + PVNet cascade compiles and runs end to end."""
         cfg = Config().with_overrides(

@@ -124,12 +124,16 @@ def _psroi_oracle(feat, rois, trans, pooled, scale, spp, trans_std):
     n = rois.shape[0]
     _, H, W, C = feat.shape
     out = np.zeros((n, pooled, pooled, C), np.float32)
+
+    def round_c(x):  # C round(): half-away-from-zero, not Python/banker's
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
     for i in range(n):
         b = int(rois[i, 0])
-        sw = round(rois[i, 1]) * scale - 0.5
-        sh = round(rois[i, 2]) * scale - 0.5
-        ew = (round(rois[i, 3]) + 1.0) * scale - 0.5
-        eh = (round(rois[i, 4]) + 1.0) * scale - 0.5
+        sw = round_c(rois[i, 1]) * scale - 0.5
+        sh = round_c(rois[i, 2]) * scale - 0.5
+        ew = (round_c(rois[i, 3]) + 1.0) * scale - 0.5
+        eh = (round_c(rois[i, 4]) + 1.0) * scale - 0.5
         rw = max(ew - sw, 0.1)
         rh = max(eh - sh, 0.1)
         bw, bh = rw / pooled, rh / pooled
@@ -175,10 +179,11 @@ class TestDeformPSROIPool:
                 [0, 2.0, 3.0, 30.0, 20.0],    # image-coord box, scale 0.5
                 [1, 0.0, 0.0, 10.0, 10.0],
                 [0, 20.0, 12.0, 40.0, 28.0],  # extends past the right edge
+                [1, 2.5, 3.5, 28.5, 19.5],    # .5 coords: C round() vs banker's
             ],
             np.float32,
         )
-        trans = (rng.randn(3, 2, 3, 3) * 0.5).astype(np.float32)
+        trans = (rng.randn(4, 2, 3, 3) * 0.5).astype(np.float32)
         got = deform_psroi_pool(
             jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(trans),
             pooled_size=3, spatial_scale=0.5, sample_per_part=spp,

@@ -66,6 +66,7 @@ class TestLosses:
 
 
 class TestDLASeg:
+    @pytest.mark.slow
     def test_forward_shapes(self):
         model = DLASeg(heads={"ct_hm": 4, "wh": 2}, head_conv=32)
         x = jnp.zeros((1, 64, 64, 3))
@@ -74,6 +75,7 @@ class TestDLASeg:
         assert out["ct_hm"].shape == (1, 16, 16, 4)
         assert out["wh"].shape == (1, 16, 16, 2)
 
+    @pytest.mark.slow
     def test_train_step_learns(self, rng):
         # one gradient direction check: hm loss drops on a fixed batch
         import optax
@@ -130,6 +132,7 @@ class TestCropBilinear:
 
 
 class TestResnetDcnBackbone:
+    @pytest.mark.slow
     def test_forward_shapes_and_train_step(self):
         from clean_pvnet_tpu.models import make_network
         from clean_pvnet_tpu.registry import TRAINERS

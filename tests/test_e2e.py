@@ -25,6 +25,7 @@ def synth(tmp_path_factory):
     )
 
 
+@pytest.mark.slow
 def test_train_then_eval_pose(synth):
     cfg = Config().with_overrides(
         {

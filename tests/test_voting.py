@@ -208,6 +208,47 @@ class TestRansacVote:
         res = ransac_vote(jnp.asarray(mask), jnp.asarray(vertex), jax.random.PRNGKey(0))
         assert not bool(res.valid)
 
+    def test_adaptive_rounds_early_exit_on_easy_image(self, rng):
+        # perfect field → round-1 winner ratio ≈ 1 → confidence met after one
+        # round, so the num_rounds=20 while_loop must match num_rounds=1 bitwise
+        mask, vertex, kpt = make_scene(rng, vn=9)
+        args = (jnp.asarray(mask), jnp.asarray(vertex), jax.random.PRNGKey(0))
+        one = ransac_vote(*args, num_hypotheses=64, max_pixels=128, num_rounds=1)
+        many = ransac_vote(*args, num_hypotheses=64, max_pixels=128, num_rounds=20)
+        np.testing.assert_array_equal(np.asarray(one.kpt_2d), np.asarray(many.kpt_2d))
+
+    def test_adaptive_rounds_help_hard_image(self, rng):
+        # 60% corrupted directions + tiny per-round budget: a single round of
+        # 16 hypotheses often misses; 20 adaptive rounds must not be worse
+        mask, vertex, kpt = make_scene(rng, vn=6, blob=30)
+        bad = rng.rand(*mask.shape) < 0.6
+        noise = rng.randn(*vertex.shape).astype(np.float32)
+        noise /= np.linalg.norm(noise, axis=-1, keepdims=True)
+        vertex = np.where((bad & (mask == 1))[..., None, None], noise, vertex)
+        args = (jnp.asarray(mask), jnp.asarray(vertex), jax.random.PRNGKey(5))
+        one = ransac_vote(*args, num_hypotheses=16, max_pixels=256, num_rounds=1)
+        many = ransac_vote(*args, num_hypotheses=16, max_pixels=256, num_rounds=20)
+        err1 = np.linalg.norm(np.asarray(one.kpt_2d) - kpt, axis=-1)
+        err20 = np.linalg.norm(np.asarray(many.kpt_2d) - kpt, axis=-1)
+        assert err20.max() < 1.5, (err1, err20)
+        assert np.median(err20) <= np.median(err1) + 0.5
+
+    def test_adaptive_rounds_vmap(self, rng):
+        # the while_loop decode must stay correct under vmap (batched images
+        # exit at different rounds)
+        scenes = [make_scene(rng, vn=4) for _ in range(2)]
+        masks = jnp.stack([jnp.asarray(s[0]) for s in scenes])
+        verts = jnp.stack([jnp.asarray(s[1]) for s in scenes])
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        res = jax.vmap(
+            lambda m, v, k: ransac_vote(
+                m, v, k, num_hypotheses=64, max_pixels=128, num_rounds=8
+            )
+        )(masks, verts, keys)
+        for i, (_, _, kpt) in enumerate(scenes):
+            err = np.linalg.norm(np.asarray(res.kpt_2d[i]) - kpt, axis=-1)
+            assert err.max() < 0.5
+
     def test_batch_vmap(self, rng):
         scenes = [make_scene(rng, vn=9) for _ in range(3)]
         masks = jnp.stack([jnp.asarray(s[0]) for s in scenes])

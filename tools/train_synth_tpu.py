@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--rotate", type=float, default=30.0)
     ap.add_argument("--resize_jitter", type=float, default=0.2)
     ap.add_argument("--out", default="data/record/synth_tpu_metrics.json")
+    ap.add_argument("--curve", default="data/record/synth_tpu_curve.jsonl",
+                    help="per-epoch loss + periodic eval learning curve")
+    ap.add_argument("--eval_every", type=int, default=10)
+    ap.add_argument("--save_every", type=int, default=10)
     args = ap.parse_args()
     enable_compilation_cache()
 
@@ -156,6 +160,12 @@ def main():
     if begin_epoch >= 0:
         print(f"resumed from epoch {begin_epoch}")
 
+    os.makedirs(os.path.dirname(args.curve) or ".", exist_ok=True)
+
+    def record_curve(entry):
+        with open(args.curve, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
     t0 = time.time()
     for epoch in range(begin_epoch + 1, args.epochs):
         te = time.time()
@@ -163,18 +173,30 @@ def main():
             b = {k: batch[k]
                  for k in ("inp", "inp_u8", "mask", "kpt_2d") if k in batch}
             state, stats = trainer._train_step(state, shard_batch(b, mesh))
+        entry = {
+            "epoch": epoch,
+            "loss": float(stats["loss"]),
+            "vote_loss": float(stats["vote_loss"]),
+            "seg_loss": float(stats["seg_loss"]),
+            "seconds": round(time.time() - te, 1),
+        }
         print(
-            f"epoch {epoch}: loss {float(stats['loss']):.4f} "
-            f"vote {float(stats['vote_loss']):.4f} "
-            f"seg {float(stats['seg_loss']):.4f} ({time.time()-te:.0f}s)"
+            f"epoch {epoch}: loss {entry['loss']:.4f} "
+            f"vote {entry['vote_loss']:.4f} "
+            f"seg {entry['seg_loss']:.4f} ({entry['seconds']:.0f}s)",
+            flush=True,
         )
-        if (epoch + 1) % 20 == 0:
+        if (epoch + 1) % args.save_every == 0:
             ckpt.save(state, epoch)
-            if epoch + 1 < args.epochs:
-                run_eval(f"epoch {epoch}")
+        if (epoch + 1) % args.eval_every == 0 and epoch + 1 < args.epochs:
+            entry["eval"] = run_eval(f"epoch {epoch}")
+        record_curve(entry)
 
+    if args.epochs % args.save_every != 0 and args.epochs > begin_epoch + 1:
+        ckpt.save(state, args.epochs - 1)
     metrics = run_eval("final")
     metrics["train_minutes"] = (time.time() - t0) / 60
+    record_curve({"epoch": args.epochs - 1, "final_eval": metrics})
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(metrics, f, indent=2)
