@@ -61,25 +61,53 @@ def main():
     Kb = jnp.asarray(np.tile(K, (b, 1, 1)))
     key = jax.random.PRNGKey(0)
 
-    # warmup (compile)
-    for i in range(args.warmup):
-        out = pipeline(variables, inp, Kb, jax.random.fold_in(key, i))
-    jax.block_until_ready(out["pose"])
+    # Timing methodology: chain each iteration's input on the previous
+    # iteration's output (a zero-valued perturbation) and fetch only the
+    # final result. On an RPC-tunneled device, timing a loop of independent
+    # dispatches + block_until_ready under-measures (async/lazy execution);
+    # the data dependency forces every step to execute serially, and the
+    # (long - short) slope cancels dispatch/transfer fixed costs.
+    def chained(n):
+        x = inp
+        out = None
+        for i in range(n):
+            out = pipeline(variables, x, Kb, jax.random.fold_in(key, i))
+            zero = (out["pose"][0, 0, 0] * 0).astype(inp.dtype)
+            x = inp + zero
+        return out
 
+    np.asarray(chained(args.warmup)["pose"])  # compile + warm
+    n1 = max(1, args.iters // 5)
     t0 = time.perf_counter()
-    for i in range(args.iters):
-        out = pipeline(variables, inp, Kb, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(out["pose"])
-    dt = time.perf_counter() - t0
+    np.asarray(chained(n1)["pose"])
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(chained(args.iters)["pose"])
+    t2 = time.perf_counter() - t0
+    dt = max(t2 - t1, 1e-9)
 
-    fps = args.iters * b / dt
+    fps = (args.iters - n1) * b / dt
+    # MFU on the network's matmul/conv FLOPs (the voting/PnP decode adds
+    # VPU work the MXU number doesn't see; this is a lower bound)
+    mfu = None
+    try:
+        flops = pipeline.cost_flops()
+        if flops:
+            peak = 197e12 if "v5" in str(jax.devices()[0]).lower() else None
+            if peak:
+                mfu = round(flops / b * fps / peak, 4)
+    except Exception:
+        pass
     print(
         json.dumps(
             {
-                "metric": "frames/s/chip at 480x640 (network+voting+PnP)",
+                "metric": "frames/s/chip at 480x640 (network+voting+PnP"
+                          + (", un_pnp covariance decode" if args.un_pnp else "")
+                          + ")",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 25.0, 2),
+                **({"mfu_bf16": mfu} if mfu is not None else {}),
             }
         )
     )

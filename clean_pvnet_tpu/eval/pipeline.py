@@ -103,4 +103,18 @@ class InferencePipeline:
 
     def __call__(self, variables, inp, K, key) -> dict[str, Any]:
         """inp [B,H,W,3] float32 (normalized), K [B,3,3] → outputs dict."""
+        self._last_args = (variables, inp, K, key)
         return self._run(variables, inp, K, key)
+
+    def cost_flops(self) -> float | None:
+        """Total FLOPs per program invocation from XLA's cost analysis at the
+        last-called input signature (None if unavailable / never called).
+        Used by bench.py for an MFU estimate."""
+        args = getattr(self, "_last_args", None)
+        if args is None:
+            return None
+        try:
+            analysis = self._run.lower(*args).compile().cost_analysis()
+            return float(analysis.get("flops", 0.0)) or None
+        except Exception:
+            return None

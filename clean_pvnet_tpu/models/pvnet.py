@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from clean_pvnet_tpu.config import Config
 from clean_pvnet_tpu.models.resnet import ResNetStride8
-from clean_pvnet_tpu.ops.voting import ransac_vote, estimate_voting_distribution
+from clean_pvnet_tpu.ops.voting import ransac_vote, ransac_vote_with_cov
 from clean_pvnet_tpu.ops.voting_vanish import ransac_vote_projective
 from clean_pvnet_tpu.registry import NETWORKS
 
@@ -194,8 +194,8 @@ def decode_keypoints(
             "valid": res.valid,
         }
 
-    res = jax.vmap(
-        lambda m, vv, k: ransac_vote(
+    res, var = jax.vmap(
+        lambda m, vv, k: ransac_vote_with_cov(
             m,
             vv,
             k,
@@ -206,22 +206,9 @@ def decode_keypoints(
             min_pixels=v.min_pixels,
             hyp_chunk=128,
             confidence=v.confidence,
+            cov_hypotheses=v.cov_hypotheses,
         )
     )(mask, vtx, keys)
-    keys2 = jax.random.split(jax.random.fold_in(key, 1), b)
-    _, var = jax.vmap(
-        lambda m, vv, mean, k: estimate_voting_distribution(
-            m,
-            vv,
-            mean,
-            k,
-            num_hypotheses=v.cov_hypotheses,
-            inlier_thresh=v.cov_inlier_thresh,
-            max_pixels=v.un_max_pixels,
-            min_pixels=v.min_pixels,
-            hyp_chunk=256,
-        )
-    )(mask, vtx, res.mean, keys2)
     return {
         "mask": mask,
         "kpt_2d": res.kpt_2d,

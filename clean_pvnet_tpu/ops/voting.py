@@ -289,6 +289,121 @@ def ransac_vote(
     return VoteResult(kpt_2d=refined, inlier_ratio=ratio, valid=enough, mean=refined)
 
 
+def _cov_around_mean(direct, coords, valid, tv, enough, mean, key,
+                     num_hypotheses, inlier_thresh, max_pixels, hyp_chunk):
+    """Weighted voting covariance around `mean` over an already-selected
+    pixel set (the tail of ref ransac_voting_gpu.py:202-274): generate a
+    fresh hypothesis population, weight by inlier ratio, keep ratios within
+    0.1 of the per-keypoint max, return [vn, 2, 2]."""
+    vn = direct.shape[1]
+    u = jax.random.uniform(key, (num_hypotheses, vn, 2))
+    idx_pairs = jnp.clip(
+        jnp.floor(u * jnp.maximum(tv, 1)).astype(jnp.int32), 0, max_pixels - 1
+    )
+    hyp = generate_hypotheses(direct, coords, idx_pairs)  # [hn, vn, 2]
+    counts = _count_inliers(hyp, direct, coords, valid, inlier_thresh, hyp_chunk)
+    ratio = counts.astype(jnp.float32) / jnp.maximum(tv, 1)  # [hn, vn]
+
+    ratio_v = ratio.T  # [vn, hn]
+    hyp_v = jnp.swapaxes(hyp, 0, 1)  # [vn, hn, 2]
+    thresh = jnp.max(ratio_v, -1, keepdims=True) - 0.1
+    w = jnp.where(ratio_v < thresh, 0.0, ratio_v)  # [vn, hn]
+    diff = hyp_v - mean[:, None, :]  # [vn, hn, 2]
+    cov = jnp.einsum("vhi,vhj->vij", diff * w[..., None], diff)
+    cov = cov / (jnp.sum(w, -1)[:, None, None] + 1e-3)
+    return jnp.where(enough, cov, jnp.eye(2)[None] * 0.0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_hypotheses",
+        "num_rounds",
+        "max_pixels",
+        "min_pixels",
+        "hyp_chunk",
+        "cov_hypotheses",
+    ),
+)
+def ransac_vote_with_cov(
+    mask: jax.Array,
+    vertex: jax.Array,
+    key: jax.Array,
+    num_hypotheses: int = 512,
+    num_rounds: int = 1,
+    inlier_thresh: float = 0.99,
+    max_pixels: int = 8192,
+    min_pixels: int = 5,
+    hyp_chunk: int = 0,
+    confidence: float = 0.99,
+    cov_hypotheses: int = 4096,
+) -> tuple[VoteResult, jax.Array]:
+    """Fused uncertainty decode: RANSAC vote + covariance in ONE program.
+
+    Counterpart of the reference's un_pnp sequence (ransac_voting_layer_v3
+    with 512 hyps, then estimate_voting_distribution_with_mean, ref
+    resnet18.py:71-73) — but the foreground selection (top-k over H·W) and
+    the [T, vn, 2] gather run ONCE and feed both stages, instead of the two
+    standalone entry points each re-selecting. Returns (VoteResult,
+    cov [vn, 2, 2]).
+    """
+    vn = vertex.shape[2]
+    k_sel, k_hyp, k_cov = jax.random.split(key, 3)
+    coords, flat_idx, valid = select_foreground(mask, k_sel, max_pixels)
+    tv = jnp.sum(valid)
+    enough = tv >= min_pixels
+
+    direct = vertex.reshape(-1, vn, 2)[flat_idx].astype(jnp.float32)
+    direct = direct * valid[:, None, None]
+
+    def one_round(key_r):
+        u = jax.random.uniform(key_r, (num_hypotheses, vn, 2))
+        idx_pairs = jnp.clip(
+            jnp.floor(u * jnp.maximum(tv, 1)).astype(jnp.int32),
+            0, max_pixels - 1,
+        )
+        hyp = generate_hypotheses(direct, coords, idx_pairs)
+        counts = _count_inliers(
+            hyp, direct, coords, valid, inlier_thresh, hyp_chunk
+        )
+        win_idx = jnp.argmax(counts, 0)
+        win_counts = jnp.take_along_axis(counts, win_idx[None], 0)[0]
+        win_pts = hyp[win_idx, jnp.arange(vn)]
+        return win_pts, win_counts.astype(jnp.float32) / jnp.maximum(tv, 1)
+
+    def cond_fn(carry):
+        i, _, ratios = carry
+        conf = 1.0 - (1.0 - jnp.square(ratios)) ** (i * num_hypotheses)
+        return (i < num_rounds) & (jnp.min(conf) < confidence)
+
+    def body_fn(carry):
+        i, pts, ratios = carry
+        new_pts, new_ratios = one_round(jax.random.fold_in(k_hyp, i))
+        better = new_ratios > ratios
+        return (
+            i + 1,
+            jnp.where(better[:, None], new_pts, pts),
+            jnp.maximum(new_ratios, ratios),
+        )
+
+    _, win_pts, _ = jax.lax.while_loop(
+        cond_fn,
+        body_fn,
+        (jnp.int32(0), jnp.zeros((vn, 2), jnp.float32), jnp.zeros((vn,), jnp.float32)),
+    )
+
+    refined, ratio = _refit(win_pts, direct, coords, valid, inlier_thresh)
+    refined = jnp.where(enough, refined, 0.0)
+    ratio = jnp.where(enough, ratio, 0.0)
+    cov = _cov_around_mean(
+        direct, coords, valid, tv, enough, refined, k_cov,
+        cov_hypotheses, inlier_thresh, max_pixels, hyp_chunk,
+    )
+    res = VoteResult(kpt_2d=refined, inlier_ratio=ratio, valid=enough,
+                     mean=refined)
+    return res, cov
+
+
 @partial(
     jax.jit,
     static_argnames=("num_hypotheses", "max_pixels", "min_pixels", "hyp_chunk"),
@@ -322,22 +437,8 @@ def estimate_voting_distribution(
     direct = vertex.reshape(-1, vn, 2)[flat_idx].astype(jnp.float32)
     direct = direct * valid[:, None, None]
 
-    u = jax.random.uniform(k_hyp, (num_hypotheses, vn, 2))
-    idx_pairs = jnp.clip(
-        jnp.floor(u * jnp.maximum(tv, 1)).astype(jnp.int32), 0, max_pixels - 1
+    cov = _cov_around_mean(
+        direct, coords, valid, tv, enough, mean, k_hyp,
+        num_hypotheses, inlier_thresh, max_pixels, hyp_chunk,
     )
-    hyp = generate_hypotheses(direct, coords, idx_pairs)  # [hn, vn, 2]
-    counts = _count_inliers(
-        hyp, direct, coords, valid, inlier_thresh, hyp_chunk
-    )
-    ratio = counts.astype(jnp.float32) / jnp.maximum(tv, 1)  # [hn, vn]
-
-    ratio_v = ratio.T  # [vn, hn]
-    hyp_v = jnp.swapaxes(hyp, 0, 1)  # [vn, hn, 2]
-    thresh = jnp.max(ratio_v, -1, keepdims=True) - 0.1
-    w = jnp.where(ratio_v < thresh, 0.0, ratio_v)  # [vn, hn]
-    diff = hyp_v - mean[:, None, :]  # [vn, hn, 2]
-    cov = jnp.einsum("vhi,vhj->vij", diff * w[..., None], diff)
-    cov = cov / (jnp.sum(w, -1)[:, None, None] + 1e-3)
-    cov = jnp.where(enough, cov, jnp.eye(2)[None] * 0.0)
     return mean, cov

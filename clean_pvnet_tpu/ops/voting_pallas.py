@@ -44,20 +44,70 @@ def _count_kernel(dirx_ref, diry_ref, cx_ref, cy_ref, valid_ref,
     hy = hy_ref[0, 0, :]
     thresh = thresh_ref[0]
 
-    dx = hx[:, None] - cx[None, :]          # [BH, BT]
+    # sqrt/div-free inlier test: for thresh > 0,
+    #   cos = num / (|d| · |delta|) > thresh
+    #   ⟺  num > 0  ∧  num² > thresh² · |d|² · |delta|²
+    # — pure mul/add on the VPU (no rsqrt/div pipeline stalls); the cos is
+    # never materialized. Same accept region as the CUDA kernel's
+    # cos-angle test (ref ransac_voting_kernel.cu:105-125) up to one ulp
+    # at the decision boundary.
+    n1sq = dirx * dirx + diry * diry          # [BT]
+    t2n1 = (thresh * thresh) * n1sq           # [BT]
+    okv = (n1sq >= 1e-12) & (valid > 0)       # [BT]
+    dx = hx[:, None] - cx[None, :]            # [BH, BT]
     dy = hy[:, None] - cy[None, :]
     num = dx * dirx[None, :] + dy * diry[None, :]
-    n1 = jnp.sqrt(dirx * dirx + diry * diry)  # [BT]
     n2sq = dx * dx + dy * dy                  # [BH, BT]
-    ok = (n1[None, :] >= 1e-6) & (n2sq >= 1e-12) & (valid[None, :] > 0)
-    cos = num / jnp.where(ok, n1[None, :] * jnp.sqrt(n2sq), 1.0)
-    inlier = ok & (cos > thresh)
+    inlier = (
+        okv[None, :]
+        & (n2sq >= 1e-12)
+        & (num > 0.0)
+        & (num * num > t2n1[None, :] * n2sq)
+    )
+    out_ref[0, 0, :] += jnp.sum(inlier.astype(jnp.float32), axis=1)
+
+
+def _count_kernel_mxu(a_ref, b_ref, thresh_ref, out_ref):
+    """MXU variant: num and ‖delta‖² as K=4 matmuls.
+
+    For hypothesis q=(hx,hy) and pixel p=(cx,cy) with direction d:
+      num  = (q-p)·d   = [hx, hy, 1, 0]        · [dirx, diry, -(p·d), *]
+      n2sq = ‖q-p‖²    = [-2hx, -2hy, ‖q‖², 1] · [cx, cy, 1, ‖p‖²]
+    so each [BH, BT] tile is two [BH,4]×[4,BT] MXU passes; the VPU only
+    runs the compare/accumulate epilogue. Callers mean-center coordinates
+    to keep the expanded ‖q-p‖² from cancelling in f32.
+    """
+    ti = pl.program_id(2)
+
+    @pl.when(ti == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    A = a_ref[0]                      # [BH, 8]
+    B = b_ref[0]                      # [8, BT]
+    thresh = thresh_ref[0]
+
+    dn = (((1,), (0,)), ((), ()))
+    num = jax.lax.dot_general(A[:, :4], B[:4, :], dn,
+                              preferred_element_type=jnp.float32)
+    n2sq = jax.lax.dot_general(A[:, 4:], B[4:, :], dn,
+                               preferred_element_type=jnp.float32)
+    dirx = B[0, :]
+    diry = B[1, :]
+    n1sq = dirx * dirx + diry * diry  # zeroed rows mark invalid pixels
+    t2n1 = (thresh * thresh) * n1sq   # [BT]
+    inlier = (
+        (n1sq[None, :] >= 1e-12)
+        & (n2sq >= 1e-12)
+        & (num > 0.0)
+        & (num * num > t2n1[None, :] * n2sq)
+    )
     out_ref[0, 0, :] += jnp.sum(inlier.astype(jnp.float32), axis=1)
 
 
 @partial(
     jax.jit,
-    static_argnames=("block_h", "block_t", "interpret"),
+    static_argnames=("block_h", "block_t", "interpret", "mxu"),
 )
 def count_inliers_pallas(
     direct: jax.Array,   # [T, vn, 2]
@@ -65,12 +115,21 @@ def count_inliers_pallas(
     valid: jax.Array,    # [T] bool
     hyp: jax.Array,      # [HN, vn, 2]
     inlier_thresh: float | jax.Array,
-    block_h: int = 256,
-    block_t: int = 512,
+    block_h: int = 512,
+    block_t: int = 2048,
     interpret: bool = False,
+    mxu: bool = True,
 ) -> jax.Array:
     """Returns counts [HN, vn] int32 — same contract as the jnp
-    `_count_inliers_chunked` (ops/voting.py) and the CUDA kernel + sum."""
+    `_count_inliers_chunked` (ops/voting.py) and the CUDA kernel + sum.
+
+    Requires inlier_thresh > 0 (the kernel squares the threshold; the
+    voting configs use 0.99/0.999, ref ransac_voting_gpu.py:112,202).
+
+    mxu=True (default) uses the matmul formulation (`_count_kernel_mxu`);
+    mxu=False keeps the pure-VPU broadcast kernel."""
+    if isinstance(inlier_thresh, (int, float)) and inlier_thresh <= 0:
+        raise ValueError(f"inlier_thresh must be > 0, got {inlier_thresh}")
     t, vn, _ = direct.shape
     hn = hyp.shape[0]
 
@@ -78,6 +137,59 @@ def count_inliers_pallas(
     pad_h = (-hn) % block_h
     tp = t + pad_t
     hp = hn + pad_h
+    thresh = jnp.asarray([inlier_thresh], jnp.float32)
+    grid = (vn, hp // block_h, tp // block_t)
+
+    if mxu:
+        # mean-center both coordinate sets (translation-invariant test) so
+        # the expanded ‖q-p‖² keeps ~4 extra bits of f32 precision
+        mu = jnp.sum(
+            jnp.where(valid[:, None], coords, 0.0), 0
+        ) / jnp.maximum(jnp.sum(valid), 1)
+        c = coords - mu[None, :]
+        q = hyp - mu[None, None, :]
+        d = direct * valid.astype(direct.dtype)[:, None, None]
+
+        # B [vn, 8, TP]: rows [dirx, diry, -(p·d), 0, cx, cy, 1, ‖p‖²]
+        dirx, diry = d[:, :, 0].T, d[:, :, 1].T          # [vn, T]
+        cx, cy = c[:, 0], c[:, 1]                        # [T]
+        pd = dirx * cx[None, :] + diry * cy[None, :]     # [vn, T]
+        csq = cx * cx + cy * cy                          # [T]
+        onesT = jnp.ones((vn, t), jnp.float32)
+        B = jnp.stack(
+            [dirx, diry, -pd, jnp.zeros((vn, t), jnp.float32),
+             jnp.broadcast_to(cx, (vn, t)), jnp.broadcast_to(cy, (vn, t)),
+             onesT, jnp.broadcast_to(csq, (vn, t))],
+            axis=1,
+        )                                                # [vn, 8, T]
+        B = jnp.pad(B, ((0, 0), (0, 0), (0, pad_t)))
+
+        # A [vn, HP, 8]: cols [hx, hy, 1, 0, -2hx, -2hy, ‖q‖², 1]
+        hx, hy = q[:, :, 0].T, q[:, :, 1].T              # [vn, HN]
+        onesH = jnp.ones((vn, hn), jnp.float32)
+        A = jnp.stack(
+            [hx, hy, onesH, jnp.zeros((vn, hn), jnp.float32),
+             -2.0 * hx, -2.0 * hy, hx * hx + hy * hy, onesH],
+            axis=-1,
+        )                                                # [vn, HN, 8]
+        A = jnp.pad(A, ((0, 0), (0, pad_h), (0, 0)))
+
+        counts = pl.pallas_call(
+            _count_kernel_mxu,
+            out_shape=jax.ShapeDtypeStruct((vn, 1, hp), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_h, 8), lambda v, h, t: (v, h, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, block_t), lambda v, h, t: (v, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_h), lambda v, h, t: (v, 0, h),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(A, B, thresh)
+        return counts[:, 0, :hn].T.astype(jnp.int32)  # [HN, vn]
 
     # [vn, 1, TP] / [1, 1, TP] layouts: the singleton sublane dim satisfies
     # the TPU block-shape rule (block sublane == full array dim)
@@ -88,9 +200,6 @@ def count_inliers_pallas(
     val = jnp.pad(valid.astype(jnp.float32), (0, pad_t))[None, None, :]
     hx = jnp.pad(hyp[:, :, 0].T, ((0, 0), (0, pad_h)))[:, None, :]
     hy = jnp.pad(hyp[:, :, 1].T, ((0, 0), (0, pad_h)))[:, None, :]
-    thresh = jnp.asarray([inlier_thresh], jnp.float32)
-
-    grid = (vn, hp // block_h, tp // block_t)
 
     counts = pl.pallas_call(
         _count_kernel,

@@ -262,6 +262,42 @@ class TestRansacVote:
             assert err.max() < 0.5
 
 
+class TestFusedVoteWithCov:
+    def test_recovers_keypoints_and_tight_cov_on_perfect_field(self, rng):
+        from clean_pvnet_tpu.ops.voting import ransac_vote_with_cov
+
+        mask, vertex, kpt = make_scene(rng, vn=4, blob=30)
+        res, cov = ransac_vote_with_cov(
+            jnp.asarray(mask), jnp.asarray(vertex), jax.random.PRNGKey(0),
+            num_hypotheses=128, max_pixels=512, cov_hypotheses=256,
+        )
+        assert bool(res.valid)
+        err = np.linalg.norm(np.asarray(res.kpt_2d) - kpt, axis=-1)
+        assert err.max() < 0.5, err
+        # perfect field → hypothesis population is a point mass → tiny cov
+        assert np.abs(np.asarray(cov)).max() < 0.5
+
+    def test_cov_grows_with_noise(self, rng):
+        from clean_pvnet_tpu.ops.voting import ransac_vote_with_cov
+
+        mask, vertex, kpt = make_scene(rng, vn=2, blob=30)
+        noisy = vertex + rng.randn(*vertex.shape).astype(np.float32) * 0.1
+        noisy /= np.linalg.norm(noisy, axis=-1, keepdims=True) + 1e-9
+        noisy *= mask[..., None, None]
+        args = (jnp.asarray(mask), jax.random.PRNGKey(1))
+        _, cov_clean = ransac_vote_with_cov(
+            args[0], jnp.asarray(vertex), args[1],
+            num_hypotheses=128, max_pixels=512, cov_hypotheses=512,
+        )
+        _, cov_noisy = ransac_vote_with_cov(
+            args[0], jnp.asarray(noisy), args[1],
+            num_hypotheses=128, max_pixels=512, cov_hypotheses=512,
+        )
+        tr_clean = np.trace(np.asarray(cov_clean), axis1=-2, axis2=-1)
+        tr_noisy = np.trace(np.asarray(cov_noisy), axis1=-2, axis2=-1)
+        assert (tr_noisy > tr_clean).all(), (tr_clean, tr_noisy)
+
+
 class TestVotingDistribution:
     def test_covariance_reflects_noise(self, rng):
         mask, vertex, kpt = make_scene(rng, vn=2, blob=30)

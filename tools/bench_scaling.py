@@ -75,13 +75,27 @@ def main():
                 },
                 mesh,
             )
-            state, _ = trainer._train_step(state, batch)  # compile
-            jax.block_until_ready(state.params)
+            # the train step chains naturally through `state`, so a final
+            # fetch forces the whole sequence; slope (long - short) cancels
+            # dispatch/transfer fixed costs (RPC-tunneled devices
+            # under-measure with plain block_until_ready loops)
+            def run_steps(s, n):
+                for _ in range(n):
+                    s, _ = trainer._train_step(s, batch)
+                return s
+
+            state = run_steps(state, 1)  # compile
+            np.asarray(jax.tree.leaves(state.params)[0])
+            n1 = max(1, args.iters // 5)
             t0 = time.perf_counter()
-            for _ in range(args.iters):
-                state, stats = trainer._train_step(state, batch)
-            jax.block_until_ready(state.params)
-            dt = time.perf_counter() - t0
+            state = run_steps(state, n1)
+            np.asarray(jax.tree.leaves(state.params)[0])
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            state = run_steps(state, args.iters)
+            np.asarray(jax.tree.leaves(state.params)[0])
+            dt = max(time.perf_counter() - t0 - t1, 1e-9)
+            eff_iters = args.iters - n1
         else:
             variables = model.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
@@ -93,16 +107,30 @@ def main():
                 {"inp": rng.rand(b, h, w, 3).astype(np.float32),
                  "K": K}, mesh
             )
-            out = pipeline(variables, inp["inp"], inp["K"], jax.random.PRNGKey(0))
-            jax.block_until_ready(out["pose"])
-            t0 = time.perf_counter()
-            for i in range(args.iters):
-                out = pipeline(variables, inp["inp"], inp["K"],
-                               jax.random.PRNGKey(i))
-            jax.block_until_ready(out["pose"])
-            dt = time.perf_counter() - t0
+            key = jax.random.PRNGKey(0)
 
-        fps = args.iters * b / dt
+            def chained(n):
+                x = inp["inp"]
+                out = None
+                for i in range(n):
+                    out = pipeline(variables, x, inp["K"],
+                                   jax.random.fold_in(key, i))
+                    x = inp["inp"] + (out["pose"][0, 0, 0] * 0).astype(
+                        x.dtype
+                    )
+                return out
+
+            np.asarray(chained(1)["pose"])  # compile + warm
+            n1 = max(1, args.iters // 5)
+            t0 = time.perf_counter()
+            np.asarray(chained(n1)["pose"])
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(chained(args.iters)["pose"])
+            dt = max(time.perf_counter() - t0 - t1, 1e-9)
+            eff_iters = args.iters - n1
+
+        fps = eff_iters * b / dt
         results.append({"devices": n_dev, "global_batch": b,
                         "frames_per_s": round(fps, 2)})
         base = results[0]
