@@ -9,6 +9,9 @@ re-implemented here without pycocotools).
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -16,6 +19,46 @@ from clean_pvnet_tpu.config import Config
 from clean_pvnet_tpu.eval.metrics import adds_error, cm_degree
 from clean_pvnet_tpu.eval.vsd import vsd_pose_error
 from clean_pvnet_tpu.registry import EVALUATORS
+
+
+@jax.jit
+def _batch_adi_cmd5(pts, poses_p, poses_g):
+    """Vectorized ADD-S distance + 5cm-5° terms for M same-class pose pairs.
+
+    pts [N,3], poses_* [M,3,4] → (dist [M], t_cm [M], r_deg [M]). One device
+    round trip replaces the reference's per-pair host loop
+    (ref lib/evaluators/tless_test/pvnet.py:107-125)."""
+
+    def one(pp, pg):
+        d = adds_error(pts, pp, pg)
+        t_cm, r_deg = cm_degree(pp, pg)
+        return d, t_cm, r_deg
+
+    return jax.vmap(one)(poses_p, poses_g)
+
+
+@partial(jax.jit, static_argnames=("hw", "delta", "tau"))
+def _batch_vsd(verts, faces, depth_test, poses_p, poses_g, Ks, hw, delta, tau):
+    """Vectorized VSD errors for M same-class pose pairs → err [M]."""
+
+    def one(pp, pg, K):
+        return vsd_pose_error(pp, pg, verts, faces, depth_test, K, hw,
+                              delta=delta, tau=tau, cost_type="step")
+
+    return jax.vmap(one)(poses_p, poses_g, Ks)
+
+
+def _pad_rows(arrs, m_padded):
+    """Pad leading dim of each array to m_padded by repeating the last row
+    (keeps shapes in a small bucket set so the jitted batch fns compile
+    once per (class, bucket), not once per pair count)."""
+    out = []
+    for a in arrs:
+        pad = m_padded - a.shape[0]
+        if pad:
+            a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], 0)
+        out.append(a)
+    return out
 
 
 @EVALUATORS.register("ct_pvnet")
@@ -52,47 +95,64 @@ class TlessEvaluator:
         self.icp_vsd = []
         self.n_gt = 0
 
-    # --- per-pair predicates -------------------------------------------
-    def _adi_ok(self, gt: dict, pose_p) -> bool:
-        model = self.models[gt["cls"]]
-        dist = float(
-            adds_error(model["pts"], jnp.asarray(pose_p, jnp.float32),
-                       jnp.asarray(gt["pose"], jnp.float32))
-        )
-        return dist < 0.1 * model["diameter"]
+    # --- vectorized pair evaluation ------------------------------------
+    def _eval_pairs(self, rows, depth_test=None, want_vsd=False):
+        """rows: list of (cls, pose_p, pose_g, K). Returns numpy bool arrays
+        (adi_ok [R], cmd5_ok [R], vsd_ok [R] | None).
 
-    def _cmd5_ok(self, gt: dict, pose_p) -> bool:
-        t_cm, r_deg = cm_degree(jnp.asarray(pose_p, jnp.float32),
-                                jnp.asarray(gt["pose"], jnp.float32))
-        return bool(float(t_cm) < 5 and float(r_deg) < 5)
-
-    def _vsd_ok(self, depth_test, gt: dict, pose_p) -> bool:
-        verts, faces = self.vsd_meshes[gt["cls"]]
-        err = float(
-            vsd_pose_error(
-                jnp.asarray(pose_p, jnp.float32),
-                jnp.asarray(gt["pose"], jnp.float32),
-                jnp.asarray(verts, jnp.float32),
-                jnp.asarray(faces, jnp.int32),
-                jnp.asarray(depth_test, jnp.float32),
-                jnp.asarray(gt["K"], jnp.float32),
-                self.hw,
-                delta=self.cfg.test.vsd_delta / 1000.0,
-                tau=self.cfg.test.vsd_tau / 1000.0,
-                cost_type="step",
+        All same-class pairs are evaluated in one padded vmapped call per
+        class (sizes bucketed to powers of two so the jitted batch fns stay
+        in a small compile set) — replacing the reference's per-pair host
+        loops with one device round trip per (class, metric family)."""
+        r = len(rows)
+        adi_ok = np.zeros(r, bool)
+        cmd5_ok = np.zeros(r, bool)
+        vsd_ok = np.zeros(r, bool) if want_vsd else None
+        by_cls: dict[int, list[int]] = {}
+        for i, (c, *_rest) in enumerate(rows):
+            by_cls.setdefault(c, []).append(i)
+        for c, idxs in by_cls.items():
+            model = self.models[c]
+            m = len(idxs)
+            m_pad = 1 << (m - 1).bit_length()
+            pp = np.stack([np.asarray(rows[i][1], np.float32) for i in idxs])
+            pg = np.stack([np.asarray(rows[i][2], np.float32) for i in idxs])
+            pp, pg = _pad_rows([pp, pg], m_pad)
+            dist, t_cm, r_deg = _batch_adi_cmd5(
+                model["pts"], jnp.asarray(pp), jnp.asarray(pg)
             )
-        )
-        return err < self.cfg.test.vsd_thresh
+            dist = np.asarray(dist)[:m]
+            t_cm = np.asarray(t_cm)[:m]
+            r_deg = np.asarray(r_deg)[:m]
+            adi_ok[idxs] = dist < 0.1 * model["diameter"]
+            cmd5_ok[idxs] = (t_cm < 5) & (r_deg < 5)
+            if want_vsd:
+                verts, faces = self.vsd_meshes[c]
+                Ks = np.stack(
+                    [np.asarray(rows[i][3], np.float32) for i in idxs]
+                )
+                (Ks_p,) = _pad_rows([Ks], m_pad)
+                err = _batch_vsd(
+                    jnp.asarray(verts, jnp.float32),
+                    jnp.asarray(faces, jnp.int32),
+                    jnp.asarray(depth_test, jnp.float32),
+                    jnp.asarray(pp), jnp.asarray(pg), jnp.asarray(Ks_p),
+                    self.hw,
+                    self.cfg.test.vsd_delta / 1000.0,
+                    self.cfg.test.vsd_tau / 1000.0,
+                )
+                vsd_ok[idxs] = np.asarray(err)[:m] < self.cfg.test.vsd_thresh
+        return adi_ok, cmd5_ok, vsd_ok
 
     @staticmethod
-    def _any_match(gt_insts, preds, ok) -> bool:
-        for pr in preds:
-            for gt in gt_insts:
-                if pr["cls"] != gt["cls"]:
-                    continue
-                if ok(gt, pr["pose"]):
-                    return True
-        return False
+    def _cross_pairs(gt_insts, preds):
+        """All same-class (pred, gt) combinations as _eval_pairs rows."""
+        return [
+            (gt["cls"], pr["pose"], gt["pose"], gt.get("K"))
+            for pr in preds
+            for gt in gt_insts
+            if pr["cls"] == gt["cls"]
+        ]
 
     def evaluate_image(
         self,
@@ -110,22 +170,27 @@ class TlessEvaluator:
         if not gt_insts:
             return
         self.n_gt += len(gt_insts)
-        self.adi.append(self._any_match(gt_insts, preds, self._adi_ok))
-        self.cmd5.append(self._any_match(gt_insts, preds, self._cmd5_ok))
         do_vsd = depth_test is not None and self.vsd_meshes is not None
+        rows = self._cross_pairs(gt_insts, preds)
+        adi_ok, cmd5_ok, vsd_ok = (
+            self._eval_pairs(rows, depth_test, do_vsd)
+            if rows else (np.zeros(0, bool),) * 3
+        )
+        self.adi.append(bool(adi_ok.any()))
+        self.cmd5.append(bool(cmd5_ok.any()))
         if do_vsd:
-            vsd_ok = lambda gt, p: self._vsd_ok(depth_test, gt, p)
-            self.vsd.append(self._any_match(gt_insts, preds, vsd_ok))
+            self.vsd.append(bool(vsd_ok.any()) if vsd_ok is not None else False)
         if preds_icp is not None:
-            self.icp_adi.append(
-                self._any_match(gt_insts, preds_icp, self._adi_ok)
+            rows_icp = self._cross_pairs(gt_insts, preds_icp)
+            adi_i, cmd5_i, vsd_i = (
+                self._eval_pairs(rows_icp, depth_test, do_vsd)
+                if rows_icp else (np.zeros(0, bool),) * 3
             )
-            self.icp_cmd5.append(
-                self._any_match(gt_insts, preds_icp, self._cmd5_ok)
-            )
+            self.icp_adi.append(bool(adi_i.any()))
+            self.icp_cmd5.append(bool(cmd5_i.any()))
             if do_vsd:
                 self.icp_vsd.append(
-                    self._any_match(gt_insts, preds_icp, vsd_ok)
+                    bool(vsd_i.any()) if vsd_i is not None else False
                 )
 
     def evaluate_scene(
@@ -140,6 +205,9 @@ class TlessEvaluator:
         used = [False] * len(pred)
         order = sorted(range(len(pred)),
                        key=lambda i: -pred[i].get("score", 1.0))
+        do_vsd = depth_test is not None and self.vsd_meshes is not None
+        rows = []
+        unmatched = 0
         for gt in gt_insts:
             self.n_gt += 1
             best = None
@@ -149,37 +217,21 @@ class TlessEvaluator:
                 best = i
                 break
             if best is None:
-                self.adi.append(False)
-                self.cmd5.append(False)
-                if depth_test is not None and self.vsd_meshes is not None:
-                    self.vsd.append(False)
+                unmatched += 1
                 continue
             used[best] = True
-            c = gt["cls"]
-            model = self.models[c]
-            pose_p = jnp.asarray(pred[best]["pose"], jnp.float32)
-            pose_g = jnp.asarray(gt["pose"], jnp.float32)
-            dist = float(adds_error(model["pts"], pose_p, pose_g))
-            self.adi.append(dist < 0.1 * model["diameter"])
-            t_cm, r_deg = cm_degree(pose_p, pose_g)
-            self.cmd5.append(bool(float(t_cm) < 5 and float(r_deg) < 5))
-            if depth_test is not None and self.vsd_meshes is not None:
-                verts, faces = self.vsd_meshes[c]
-                err = float(
-                    vsd_pose_error(
-                        pose_p,
-                        pose_g,
-                        jnp.asarray(verts, jnp.float32),
-                        jnp.asarray(faces, jnp.int32),
-                        jnp.asarray(depth_test, jnp.float32),
-                        jnp.asarray(gt["K"], jnp.float32),
-                        self.hw,
-                        delta=self.cfg.test.vsd_delta / 1000.0,
-                        tau=self.cfg.test.vsd_tau / 1000.0,
-                        cost_type="step",
-                    )
-                )
-                self.vsd.append(err < self.cfg.test.vsd_thresh)
+            rows.append(
+                (gt["cls"], pred[best]["pose"], gt["pose"], gt.get("K"))
+            )
+        adi_ok, cmd5_ok, vsd_ok = (
+            self._eval_pairs(rows, depth_test, do_vsd)
+            if rows else (np.zeros(0, bool),) * 3
+        )
+        self.adi += list(adi_ok) + [False] * unmatched
+        self.cmd5 += list(cmd5_ok) + [False] * unmatched
+        if do_vsd:
+            vs = list(vsd_ok) if vsd_ok is not None else [False] * len(rows)
+            self.vsd += vs + [False] * unmatched
 
     def summarize(self) -> dict:
         out = {

@@ -8,3 +8,7 @@ from clean_pvnet_tpu.parallel.distributed import (  # noqa: F401
     DistributedSession,
     init_distributed,
 )
+from clean_pvnet_tpu.parallel.refine_sharded import (  # noqa: F401
+    make_sharded_refiner,
+    refine_instances,
+)
