@@ -413,6 +413,7 @@ def generate_multiobject_dataset(
     max_inst: int = 4,
     hw: tuple[int, int] = (256, 320),
     seed: int = 0,
+    bg_dir: str | None = None,
 ):
     """Multi-instance scenes for the detector/cascade path.
 
@@ -448,10 +449,12 @@ def generate_multiobject_dataset(
     os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(root, "mask"), exist_ok=True)
     os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    from clean_pvnet_tpu.data.tless import sample_background
+
     images, annotations = [], []
     ann_id = 0
     for si in range(n_scenes):
-        bg = _background(rng, h, w)
+        bg = sample_background(rng, (h, w), bg_dir)
         zbuf = np.full((h, w), np.inf, np.float32)
         seg = np.zeros((h, w), np.int32)
         frame = bg.copy()

@@ -125,6 +125,56 @@ def rectify_symmetric_rotation(pose: np.ndarray, sym: str = "z") -> np.ndarray:
     return out
 
 
+def sample_background(
+    rng: np.random.RandomState,
+    hw: tuple[int, int],
+    bg_dir: str | None = None,
+) -> np.ndarray:
+    """Background frame for cut-paste composition, in [0, 1] float.
+
+    When `bg_dir` holds real photographs (the reference pastes T-LESS crops
+    onto SUN2012 images, ref lib/datasets/tless_train/pvnet.py:33-125 —
+    point this at such a directory), a random image is loaded and
+    random-cropped/resized to `hw`; otherwise falls back to the procedural
+    texture (data/synthetic.py), which keeps the pipeline hermetic in
+    environments without the SUN2012 download.
+    """
+    h, w = hw
+    if bg_dir:
+        import os
+
+        files = getattr(sample_background, "_cache", {}).get(bg_dir)
+        if files is None:
+            exts = (".jpg", ".jpeg", ".png", ".bmp")
+            files = sorted(
+                os.path.join(bg_dir, f)
+                for f in os.listdir(bg_dir)
+                if f.lower().endswith(exts)
+            )
+            sample_background._cache = {
+                **getattr(sample_background, "_cache", {}), bg_dir: files,
+            }
+        if files:
+            from PIL import Image
+
+            img = Image.open(files[rng.randint(len(files))]).convert("RGB")
+            iw, ih = img.size
+            # random crop of the target aspect, then resize — same spirit as
+            # the reference's random SUN2012 window
+            scale = max(h / ih, w / iw)
+            if scale > 1.0:  # upscale small backgrounds first
+                img = img.resize((int(np.ceil(iw * scale)),
+                                  int(np.ceil(ih * scale))))
+                iw, ih = img.size
+            x0 = rng.randint(max(iw - w, 0) + 1)
+            y0 = rng.randint(max(ih - h, 0) + 1)
+            img = img.crop((x0, y0, x0 + w, y0 + h))
+            return np.asarray(img, np.float32) / 255.0
+    from clean_pvnet_tpu.data.synthetic import _background
+
+    return _background(rng, h, w)
+
+
 def paste_sprite(
     scene: np.ndarray,       # [H, W, 3] float
     seg: np.ndarray,         # [H, W] int — instance id map

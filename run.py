@@ -268,6 +268,7 @@ def run_tless(cfg, args):
         os.path.join(cfg.data_root, "tless_scenes"),
         num_classes=args.n_classes,
         n_scenes=args.n_train,
+        bg_dir=args.bg_dir,
     )
     print({k: v for k, v in meta.items() if isinstance(v, (str, int, float))})
 
@@ -402,6 +403,11 @@ def main():
     parser.add_argument("--n_test", type=int, default=50)
     parser.add_argument("--n_vis", type=int, default=4)
     parser.add_argument("--n_classes", type=int, default=3)
+    parser.add_argument("--bg_dir", default=None,
+                        help="directory of real background photos for scene "
+                             "composition (SUN2012-style, ref "
+                             "tless_train/pvnet.py:33-125); procedural "
+                             "textures when omitted")
     parser.add_argument("--torch_ckpt", default=None,
                         help="path to a reference .pth for --type import_torch")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])

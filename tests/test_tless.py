@@ -66,6 +66,48 @@ class TestSymmetry:
         np.testing.assert_array_equal(out, pose)
 
 
+class TestBackgrounds:
+    def test_real_background_dir(self, rng, tmp_path):
+        from PIL import Image
+
+        from clean_pvnet_tpu.data.tless import sample_background
+
+        # two small "photos"; the sampler must crop/resize to the target hw
+        for i in range(2):
+            arr = (rng.rand(40 + i * 30, 60 + i * 20, 3) * 255).astype("uint8")
+            Image.fromarray(arr).save(tmp_path / f"bg{i}.jpg")
+        bg = sample_background(rng, (64, 96), str(tmp_path))
+        assert bg.shape == (64, 96, 3)
+        assert bg.dtype == np.float32
+        assert 0.0 <= bg.min() and bg.max() <= 1.0
+
+    def test_fallback_to_procedural(self, rng, tmp_path):
+        from clean_pvnet_tpu.data.tless import sample_background
+
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        for bg_dir in (None, str(empty)):
+            bg = sample_background(rng, (32, 48), bg_dir)
+            assert bg.shape == (32, 48, 3)
+
+    def test_multiobject_dataset_accepts_bg_dir(self, rng, tmp_path):
+        from PIL import Image
+
+        from clean_pvnet_tpu.data.synthetic import generate_multiobject_dataset
+
+        arr = (rng.rand(200, 240, 3) * 255).astype("uint8")
+        (tmp_path / "bgs").mkdir()
+        Image.fromarray(arr).save(tmp_path / "bgs" / "photo.png")
+        meta = generate_multiobject_dataset(
+            str(tmp_path / "scenes"), num_classes=1, n_scenes=2, max_inst=1,
+            hw=(96, 128), bg_dir=str(tmp_path / "bgs"),
+        )
+        import json as _json
+
+        with open(meta["scenes_json"]) as f:
+            assert len(_json.load(f)["images"]) == 2
+
+
 class TestPaste:
     def test_occlusion_bookkeeping(self):
         scene = np.zeros((20, 20, 3), np.float32)

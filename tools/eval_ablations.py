@@ -1,0 +1,145 @@
+"""Decode-stack ablation suite over a trained synthetic-benchmark model.
+
+Runs ONE trained checkpoint through every decode configuration the
+framework claims parity on, over the standard / occlusion / truncation test
+splits, and records the full table — the accuracy evidence BASELINE.md asks
+for (≥92.4%-grade ADD with voting+PnP fully on-TPU, budget ablations vs
+the reference's dynamic 30000-pixel cap, adaptive-round behavior on
+occlusion, projective decode on truncation):
+
+  * standard 128-px / 128-hyp voting + PnP     (ref ransac_voting_gpu.py:112)
+  * adaptive 20-round voting                   (ref :150-174)
+  * un_pnp covariance decode at 8192 px        (ref :202-274, max_num=30000)
+  * un_pnp at 30720 px (reference-class budget)
+  * occlusion split: standard vs un_pnp+20 rounds
+  * truncation split: standard vs projective decode
+                                               (ref ransac_voting_kernel.cu:170-310)
+
+  python tools/eval_ablations.py [--root data/synth_r2] \
+      [--out data/record/ablation_r02.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_split(cfg, model, state, pipeline, evaluator, loader):
+    kpt_err = []
+    for i, batch in enumerate(loader):
+        K = jnp.asarray(
+            np.stack([np.asarray(m["ann"]["K"], np.float32)
+                      for m in batch["meta"]])
+        )
+        out = pipeline(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(batch["inp"]), K, jax.random.PRNGKey(i),
+        )
+        evaluator.evaluate(out, batch)
+        pred = np.asarray(out["kpt_2d"])
+        for j, meta in enumerate(batch["meta"]):
+            ann = meta["ann"]
+            gt = np.concatenate(
+                [np.asarray(ann["fps_2d"]), [np.asarray(ann["center_2d"])]], 0
+            )
+            kpt_err.append(float(np.linalg.norm(pred[j] - gt, axis=-1).mean()))
+    m = evaluator.summarize()
+    m["kpt_px_err"] = float(np.median(kpt_err)) if kpt_err else -1.0
+    return m
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="data/synth_r2")
+    ap.add_argument("--out", default="data/record/ablation_r02.json")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of ablation names")
+    args = ap.parse_args()
+
+    from clean_pvnet_tpu.config import Config
+    from clean_pvnet_tpu.data import DataLoader, LinemodDataset
+    from clean_pvnet_tpu.eval import InferencePipeline, LinemodEvaluator
+    from clean_pvnet_tpu.models import make_network
+    from clean_pvnet_tpu.train import CheckpointIO, Trainer
+    from clean_pvnet_tpu.parallel import make_mesh
+    from clean_pvnet_tpu.utils.cache import enable_compilation_cache
+    from clean_pvnet_tpu.utils.ply import load_ply
+
+    enable_compilation_cache()
+    with open(os.path.join(args.root, "meta.json")) as f:
+        meta = json.load(f)
+    kpt_3d = np.concatenate(
+        [np.asarray(meta["fps_3d"]), [np.asarray(meta["center_3d"])]], 0
+    )
+    mesh_ply = load_ply(meta["model_path"])
+
+    splits = {
+        "test": meta["test_json"],
+        "occlusion": os.path.join(args.root, "synth_occlusion.json"),
+        "truncation": os.path.join(args.root, "synth_truncation.json"),
+    }
+
+    # (name, cfg overrides, un_pnp, split)
+    ablations = [
+        ("standard_128px", {}, False, "test"),
+        ("standard_rounds20", {"voting.num_rounds": 20}, False, "test"),
+        ("un_pnp_8192px", {}, True, "test"),
+        ("un_pnp_30720px", {"voting.un_max_pixels": 30720}, True, "test"),
+        ("occ_standard", {}, False, "occlusion"),
+        ("occ_rounds20", {"voting.num_rounds": 20}, False, "occlusion"),
+        ("occ_unpnp_rounds20",
+         {"voting.num_rounds": 20}, True, "occlusion"),
+        ("trunc_standard", {}, False, "truncation"),
+        ("trunc_projective",
+         {"voting.projective": True, "voting.num_hypotheses": 256,
+          "voting.max_pixels": 1024}, False, "truncation"),
+    ]
+    if args.only:
+        keep = set(args.only.split(","))
+        ablations = [a for a in ablations if a[0] in keep]
+
+    base_cfg = Config().with_overrides(
+        {"cls_type": "synth", "data_root": args.root}
+    )
+    model = make_network(base_cfg)
+    mesh = make_mesh(num_devices=1)
+    trainer = Trainer(base_cfg, model, steps_per_epoch=1, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), (1, 480, 640, 3))
+    state, epoch = CheckpointIO(os.path.join(args.root, "ckpt")).restore(state)
+    if epoch < 0:
+        raise SystemExit(f"no checkpoint under {args.root}/ckpt — train first")
+    print(f"restored epoch {epoch}")
+
+    results = {"epoch": int(epoch), "root": args.root, "ablations": {}}
+    for name, overrides, un_pnp, split in ablations:
+        cfg = base_cfg.with_overrides(overrides) if overrides else base_cfg
+        ds = LinemodDataset(cfg, splits[split], split="test")
+        loader = DataLoader(ds, args.batch, shuffle=False,
+                            buckets=((480, 640),), num_workers=2,
+                            drop_last=False)
+        pipeline = InferencePipeline(cfg, model, kpt_3d, un_pnp=un_pnp)
+        evaluator = LinemodEvaluator(cfg, mesh_ply["pts"], meta["diameter"],
+                                     cls_type="synth")
+        t0 = time.time()
+        m = run_split(cfg, model, state, pipeline, evaluator, loader)
+        m["eval_seconds"] = round(time.time() - t0, 1)
+        results["ablations"][name] = m
+        print(f"[{name}] {m}", flush=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

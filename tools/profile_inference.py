@@ -25,16 +25,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time(fn, args, iters, warmup):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def _time(run, inp, iters, warmup):
+    """Dependency-chained slope timing (see bench.py): `run(x)` must return
+    one array; each iteration's input is perturbed by the previous output so
+    the chain executes serially, and (t_long - t_short) cancels dispatch and
+    transfer fixed costs — plain block_until_ready loops under-measure on
+    the RPC-tunneled TPU."""
+
+    def chain(n):
+        x = inp
+        out = None
+        for _ in range(n):
+            out = run(x)
+            x = inp + (jnp.ravel(out)[0] * 0).astype(inp.dtype)
+        return out
+
+    np.asarray(chain(max(warmup, 1)))
+    n1 = max(1, iters // 5)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    np.asarray(chain(n1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(chain(iters))
+    t2 = time.perf_counter() - t0
+    return max(t2 - t1, 1e-9) / (iters - n1)
 
 
 def main():
@@ -43,6 +57,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--hw", type=int, nargs=2, default=(480, 640))
+    ap.add_argument("--un_pnp", action="store_true",
+                    help="profile the covariance decode + uncertainty PnP")
     args = ap.parse_args()
 
     from clean_pvnet_tpu.config import Config
@@ -71,30 +87,47 @@ def main():
     key = jax.random.PRNGKey(0)
     lm_iters = cfg.pnp.lm_iters
 
-    @jax.jit
-    def net_only(v, x):
-        return model.apply(v, x, train=False)
+    un_pnp = args.un_pnp
+    if un_pnp:
+        from clean_pvnet_tpu.geometry.pnp import solve_pnp_uncertainty
 
     @jax.jit
-    def net_vote(v, x, k):
-        out = model.apply(v, x, train=False)
-        return decode_keypoints(out["seg"], out["vertex"], k, cfg)
+    def net_only(x):
+        return model.apply(variables, x, train=False)["seg"]
 
     @jax.jit
-    def full(v, x, Kb, k):
-        out = model.apply(v, x, train=False)
-        dec = decode_keypoints(out["seg"], out["vertex"], k, cfg)
-        pose = jax.vmap(
-            lambda k2, kk: solve_pnp(kpt_3d, k2, kk, iters=lm_iters)
-        )(dec["kpt_2d"], Kb)
+    def net_vote(x):
+        out = model.apply(variables, x, train=False)
+        dec = decode_keypoints(out["seg"], out["vertex"], key, cfg,
+                               un_pnp=un_pnp)
+        # touch every decode output so nothing is dead-code eliminated
+        extra = dec["var"].sum() if un_pnp else dec["inlier_ratio"].sum()
+        return dec["kpt_2d"] + extra * 0
+
+    @jax.jit
+    def full(x):
+        out = model.apply(variables, x, train=False)
+        dec = decode_keypoints(out["seg"], out["vertex"], key, cfg,
+                               un_pnp=un_pnp)
+        if un_pnp:
+            pose = jax.vmap(
+                lambda k2, var, kk: solve_pnp_uncertainty(
+                    kpt_3d, k2, var, kk, iters=lm_iters
+                )
+            )(dec["kpt_2d"], dec["var"], Kb)
+        else:
+            pose = jax.vmap(
+                lambda k2, kk: solve_pnp(kpt_3d, k2, kk, iters=lm_iters)
+            )(dec["kpt_2d"], Kb)
         return pose
 
-    t_net = _time(net_only, (variables, inp), args.iters, args.warmup)
-    t_vote = _time(net_vote, (variables, inp, key), args.iters, args.warmup)
-    t_full = _time(full, (variables, inp, Kb, key), args.iters, args.warmup)
+    t_net = _time(net_only, inp, args.iters, args.warmup)
+    t_vote = _time(net_vote, inp, args.iters, args.warmup)
+    t_full = _time(full, inp, args.iters, args.warmup)
 
     res = {
         "batch": b,
+        "un_pnp": bool(un_pnp),
         "network_ms": round(t_net * 1e3, 2),
         "voting_ms": round((t_vote - t_net) * 1e3, 2),
         "pnp_ms": round((t_full - t_vote) * 1e3, 2),
