@@ -103,6 +103,46 @@ def generate_hypotheses(
     return jnp.where(ok[..., None], hyp, 0.0)
 
 
+def generate_hypotheses_rolled(
+    direct: jax.Array,       # [T, vn, 2]
+    coords: jax.Array,       # [T, 2]
+    valid_count: jax.Array,  # [] int — tv valid front-packed pixels
+    key: jax.Array,
+    num_hypotheses: int,
+) -> jax.Array:
+    """Gather-light hypothesis generation: pixel i0 = h mod tv pairs with
+    i1 = (i0 + random offset) mod tv, offset uniform in [1, tv).
+
+    Because `select_foreground` orders pixels by an iid-uniform priority,
+    (i0, i1) is a uniform random ordered pair of *distinct* foreground
+    pixels — the same distribution the reference draws with iid indices
+    (ref ransac_voting_gpu.py:151-153) minus its i0==i1 degenerate draws —
+    but it needs two [hn]-row gathers instead of hn·vn·2 element gathers,
+    and shares the pixel pair across keypoints (each keypoint still gets an
+    independent ray intersection from its own direction field).
+    Returns hyp [hn, vn, 2]; near-parallel pairs produce (0, 0).
+    """
+    tv = jnp.maximum(valid_count, 1).astype(jnp.int32)
+    hn = num_hypotheses
+    i0 = jnp.arange(hn, dtype=jnp.int32) % tv
+    u = jax.random.uniform(key, (hn,))
+    offs = 1 + jnp.floor(u * jnp.maximum(tv - 1, 1)).astype(jnp.int32)
+    i1 = (i0 + offs) % tv
+    d0, d1 = direct[i0], direct[i1]      # [hn, vn, 2]
+    c0, c1 = coords[i0], coords[i1]      # [hn, 2]
+
+    nx0, ny0 = d0[..., 1], -d0[..., 0]
+    nx1, ny1 = d1[..., 1], -d1[..., 0]
+    b0 = nx0 * c0[:, None, 0] + ny0 * c0[:, None, 1]
+    b1 = nx1 * c1[:, None, 0] + ny1 * c1[:, None, 1]
+    denom = nx1 * ny0 - nx0 * ny1
+    ok = jnp.abs(denom) >= 1e-6
+    safe = jnp.where(ok, denom, 1.0)
+    y = (nx1 * b0 - nx0 * b1) / safe
+    x = -(ny1 * b0 - ny0 * b1) / safe
+    return jnp.where(ok[..., None], jnp.stack([x, y], -1), 0.0)
+
+
 def _inlier_mask(hyp, direct, coords, valid, inlier_thresh):
     """Dense inlier test. hyp [hn, vn, 2] -> bool [hn, vn, T].
 
@@ -247,10 +287,9 @@ def ransac_vote(
 
     def one_round(key_r):
         # sample among the first tv entries (valid pixels are front-packed)
-        u = jax.random.uniform(key_r, (num_hypotheses, vn, 2))
-        idx_pairs = jnp.floor(u * jnp.maximum(tv, 1)).astype(jnp.int32)
-        idx_pairs = jnp.clip(idx_pairs, 0, max_pixels - 1)
-        hyp = generate_hypotheses(direct, coords, idx_pairs)
+        hyp = generate_hypotheses_rolled(
+            direct, coords, tv, key_r, num_hypotheses
+        )
         counts = _count_inliers(
             hyp, direct, coords, valid, inlier_thresh, hyp_chunk
         )
@@ -296,11 +335,9 @@ def _cov_around_mean(direct, coords, valid, tv, enough, mean, key,
     fresh hypothesis population, weight by inlier ratio, keep ratios within
     0.1 of the per-keypoint max, return [vn, 2, 2]."""
     vn = direct.shape[1]
-    u = jax.random.uniform(key, (num_hypotheses, vn, 2))
-    idx_pairs = jnp.clip(
-        jnp.floor(u * jnp.maximum(tv, 1)).astype(jnp.int32), 0, max_pixels - 1
-    )
-    hyp = generate_hypotheses(direct, coords, idx_pairs)  # [hn, vn, 2]
+    hyp = generate_hypotheses_rolled(
+        direct, coords, tv, key, num_hypotheses
+    )  # [hn, vn, 2]
     counts = _count_inliers(hyp, direct, coords, valid, inlier_thresh, hyp_chunk)
     ratio = counts.astype(jnp.float32) / jnp.maximum(tv, 1)  # [hn, vn]
 
@@ -357,12 +394,9 @@ def ransac_vote_with_cov(
     direct = direct * valid[:, None, None]
 
     def one_round(key_r):
-        u = jax.random.uniform(key_r, (num_hypotheses, vn, 2))
-        idx_pairs = jnp.clip(
-            jnp.floor(u * jnp.maximum(tv, 1)).astype(jnp.int32),
-            0, max_pixels - 1,
+        hyp = generate_hypotheses_rolled(
+            direct, coords, tv, key_r, num_hypotheses
         )
-        hyp = generate_hypotheses(direct, coords, idx_pairs)
         counts = _count_inliers(
             hyp, direct, coords, valid, inlier_thresh, hyp_chunk
         )

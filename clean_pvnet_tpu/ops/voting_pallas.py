@@ -67,15 +67,22 @@ def _count_kernel(dirx_ref, diry_ref, cx_ref, cy_ref, valid_ref,
     out_ref[0, 0, :] += jnp.sum(inlier.astype(jnp.float32), axis=1)
 
 
-def _count_kernel_mxu(a_ref, b_ref, thresh_ref, out_ref):
-    """MXU variant: num and ‖delta‖² as K=4 matmuls.
+def _count_kernel_mxu(p_ref, q_ref, out_ref):
+    """MXU variant: num and the *threshold-scaled* ‖delta‖² as K=4 matmuls,
+    with pixels on SUBLANES and hypotheses on LANES.
 
-    For hypothesis q=(hx,hy) and pixel p=(cx,cy) with direction d:
-      num  = (q-p)·d   = [hx, hy, 1, 0]        · [dirx, diry, -(p·d), *]
-      n2sq = ‖q-p‖²    = [-2hx, -2hy, ‖q‖², 1] · [cx, cy, 1, ‖p‖²]
-    so each [BH, BT] tile is two [BH,4]×[4,BT] MXU passes; the VPU only
-    runs the compare/accumulate epilogue. Callers mean-center coordinates
-    to keep the expanded ‖q-p‖² from cancelling in f32.
+    For hypothesis q=(hx,hy) and pixel p=(cx,cy) with direction d and the
+    per-pixel scale s = thresh²·‖d‖² (zeroed for invalid/degenerate pixels):
+      num    = d·(q-p)      = [dirx, diry, -(p·d), 0]   · [hx, hy, 1, 0]
+      s·n2sq = s·‖q-p‖²     = [s·cx, s·cy, s, s·‖p‖²]  · [-2hx, -2hy, ‖q‖², 1]
+    so each [BT, BH] tile is two [BT,4]×[4,BH] MXU passes. Folding s into
+    the operands removes the per-element threshold multiply, and the tile
+    orientation makes the pixel reduction a sublane (not cross-lane)
+    reduction — the accumulate runs at VPU row speed. The inlier test
+      cos > thresh  ⟺  num > 0 ∧ num² > s·n2sq     (thresh > 0)
+    and the CUDA guards ‖d‖ ≥ 1e-6, ‖delta‖ ≥ 1e-6 become s·n2sq > s·1e-12
+    (s ≡ row 6 of P). Callers mean-center coordinates to keep the expanded
+    ‖q-p‖² from cancelling in f32.
     """
     ti = pl.program_id(2)
 
@@ -83,26 +90,18 @@ def _count_kernel_mxu(a_ref, b_ref, thresh_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    A = a_ref[0]                      # [BH, 8]
-    B = b_ref[0]                      # [8, BT]
-    thresh = thresh_ref[0]
+    P = p_ref[0]                      # [8, BT]  (8 on sublanes: layout-friendly)
+    Q = q_ref[0]                      # [8, BH]
 
-    dn = (((1,), (0,)), ((), ()))
-    num = jax.lax.dot_general(A[:, :4], B[:4, :], dn,
-                              preferred_element_type=jnp.float32)
-    n2sq = jax.lax.dot_general(A[:, 4:], B[4:, :], dn,
-                               preferred_element_type=jnp.float32)
-    dirx = B[0, :]
-    diry = B[1, :]
-    n1sq = dirx * dirx + diry * diry  # zeroed rows mark invalid pixels
-    t2n1 = (thresh * thresh) * n1sq   # [BT]
-    inlier = (
-        (n1sq[None, :] >= 1e-12)
-        & (n2sq >= 1e-12)
-        & (num > 0.0)
-        & (num * num > t2n1[None, :] * n2sq)
-    )
-    out_ref[0, 0, :] += jnp.sum(inlier.astype(jnp.float32), axis=1)
+    # contract the K=8 sublane axis of both operands: lhs-transposed matmul
+    dn = (((0,), (0,)), ((), ()))
+    num = jax.lax.dot_general(P[:4, :], Q[:4, :], dn,
+                              preferred_element_type=jnp.float32)   # [BT, BH]
+    sn2 = jax.lax.dot_general(P[4:, :], Q[4:, :], dn,
+                              preferred_element_type=jnp.float32)   # [BT, BH]
+    eps = P[6:7, :].T * 1e-12         # [BT, 1] = s·1e-12
+    inlier = (sn2 > eps) & (num > 0.0) & (num * num > sn2)
+    out_ref[0, 0, :] += jnp.sum(inlier.astype(jnp.float32), axis=0)
 
 
 @partial(
@@ -150,45 +149,47 @@ def count_inliers_pallas(
         q = hyp - mu[None, None, :]
         d = direct * valid.astype(direct.dtype)[:, None, None]
 
-        # B [vn, 8, TP]: rows [dirx, diry, -(p·d), 0, cx, cy, 1, ‖p‖²]
+        # P [vn, 8, TP]: per-pixel columns
+        #   [dirx, diry, -(p·d), 0, s·cx, s·cy, s, s·‖p‖²],  s = thresh²·‖d‖²
+        # (pixels on the lane axis so HBM layout pads nothing)
         dirx, diry = d[:, :, 0].T, d[:, :, 1].T          # [vn, T]
         cx, cy = c[:, 0], c[:, 1]                        # [T]
         pd = dirx * cx[None, :] + diry * cy[None, :]     # [vn, T]
         csq = cx * cx + cy * cy                          # [T]
-        onesT = jnp.ones((vn, t), jnp.float32)
-        B = jnp.stack(
+        n1sq = dirx * dirx + diry * diry                 # [vn, T]
+        thr2 = jnp.square(jnp.asarray(inlier_thresh, jnp.float32))
+        s = jnp.where(n1sq >= 1e-12, thr2 * n1sq, 0.0)   # [vn, T]
+        P = jnp.stack(
             [dirx, diry, -pd, jnp.zeros((vn, t), jnp.float32),
-             jnp.broadcast_to(cx, (vn, t)), jnp.broadcast_to(cy, (vn, t)),
-             onesT, jnp.broadcast_to(csq, (vn, t))],
+             s * cx[None, :], s * cy[None, :], s, s * csq[None, :]],
             axis=1,
         )                                                # [vn, 8, T]
-        B = jnp.pad(B, ((0, 0), (0, 0), (0, pad_t)))
+        P = jnp.pad(P, ((0, 0), (0, 0), (0, pad_t)))
 
-        # A [vn, HP, 8]: cols [hx, hy, 1, 0, -2hx, -2hy, ‖q‖², 1]
+        # Q [vn, 8, HP]: per-hypothesis cols [hx, hy, 1, 0, -2hx, -2hy, ‖q‖², 1]
         hx, hy = q[:, :, 0].T, q[:, :, 1].T              # [vn, HN]
         onesH = jnp.ones((vn, hn), jnp.float32)
-        A = jnp.stack(
+        Q = jnp.stack(
             [hx, hy, onesH, jnp.zeros((vn, hn), jnp.float32),
              -2.0 * hx, -2.0 * hy, hx * hx + hy * hy, onesH],
-            axis=-1,
-        )                                                # [vn, HN, 8]
-        A = jnp.pad(A, ((0, 0), (0, pad_h), (0, 0)))
+            axis=1,
+        )                                                # [vn, 8, HN]
+        Q = jnp.pad(Q, ((0, 0), (0, 0), (0, pad_h)))
 
         counts = pl.pallas_call(
             _count_kernel_mxu,
             out_shape=jax.ShapeDtypeStruct((vn, 1, hp), jnp.float32),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_h, 8), lambda v, h, t: (v, h, 0),
-                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 8, block_t), lambda v, h, t: (v, 0, t),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 8, block_h), lambda v, h, t: (v, 0, h),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, 1, block_h), lambda v, h, t: (v, 0, h),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(A, B, thresh)
+        )(P, Q)
         return counts[:, 0, :hn].T.astype(jnp.int32)  # [HN, vn]
 
     # [vn, 1, TP] / [1, 1, TP] layouts: the singleton sublane dim satisfies
