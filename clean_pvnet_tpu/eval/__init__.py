@@ -7,6 +7,7 @@ from clean_pvnet_tpu.eval.metrics import (  # noqa: F401
 )
 from clean_pvnet_tpu.eval.linemod import LinemodEvaluator  # noqa: F401
 from clean_pvnet_tpu.eval.pipeline import InferencePipeline  # noqa: F401
+from clean_pvnet_tpu.eval import sixd  # noqa: F401
 from clean_pvnet_tpu.eval.tless import (  # noqa: F401
     TlessEvaluator,
     detection_ap,
