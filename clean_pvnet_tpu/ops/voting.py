@@ -109,9 +109,12 @@ def generate_hypotheses_rolled(
     valid_count: jax.Array,  # [] int — tv valid front-packed pixels
     key: jax.Array,
     num_hypotheses: int,
+    start: int | jax.Array = 0,
 ) -> jax.Array:
-    """Gather-light hypothesis generation: pixel i0 = h mod tv pairs with
-    i1 = (i0 + random offset) mod tv, offset uniform in [1, tv).
+    """Gather-light hypothesis generation: pixel i0 = (start + h) mod tv
+    pairs with i1 = (i0 + random offset) mod tv, offset uniform in [1, tv).
+    `start` lets hypothesis-sharded callers continue the global i0 sequence
+    (shard s passes start = s · local_hn).
 
     Because `select_foreground` orders pixels by an iid-uniform priority,
     (i0, i1) is a uniform random ordered pair of *distinct* foreground
@@ -124,7 +127,7 @@ def generate_hypotheses_rolled(
     """
     tv = jnp.maximum(valid_count, 1).astype(jnp.int32)
     hn = num_hypotheses
-    i0 = jnp.arange(hn, dtype=jnp.int32) % tv
+    i0 = (jnp.int32(start) + jnp.arange(hn, dtype=jnp.int32)) % tv
     u = jax.random.uniform(key, (hn,))
     offs = 1 + jnp.floor(u * jnp.maximum(tv - 1, 1)).astype(jnp.int32)
     i1 = (i0 + offs) % tv

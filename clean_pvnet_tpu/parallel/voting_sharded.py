@@ -26,7 +26,7 @@ from clean_pvnet_tpu.ops.voting import (
     _count_inliers_chunked,
     _inlier_mask,
     _refit,
-    generate_hypotheses,
+    generate_hypotheses_rolled,
     select_foreground,
 )
 
@@ -57,13 +57,12 @@ def make_sharded_vote(
         enough = tv >= min_pixels
         direct = vertex.reshape(-1, vn, 2)[flat_idx] * valid[:, None, None]
 
-        # per-shard hypothesis slice
+        # per-shard hypothesis slice: continue the global rolled i0 sequence
+        # (shard s covers [s·local_hn, (s+1)·local_hn) of arange(hn) mod tv)
         k_local = jax.random.fold_in(k_hyp, shard_id)
-        u = jax.random.uniform(k_local, (local_hn, vn, 2))
-        idx_pairs = jnp.clip(
-            jnp.floor(u * jnp.maximum(tv, 1)).astype(jnp.int32), 0, max_pixels - 1
+        hyp = generate_hypotheses_rolled(
+            direct, coords, tv, k_local, local_hn, start=shard_id * local_hn
         )
-        hyp = generate_hypotheses(direct, coords, idx_pairs)
         if hyp_chunk and local_hn > hyp_chunk:
             counts = _count_inliers_chunked(
                 hyp, direct, coords, valid, inlier_thresh, hyp_chunk
