@@ -94,6 +94,42 @@ def make_synthetic_mesh(seed: int = 0, radius: float = 0.06):
     return verts, faces, colors
 
 
+def procedural_texture(pos01: np.ndarray, seed: int) -> np.ndarray:
+    """Sharp per-pixel 3D texture: seeded color cells + sine gratings.
+
+    `pos01` [..., 3] are object-space surface positions normalized to
+    [0, 1] (obtained by rasterizing vertex positions as 'colors', which
+    render_mesh_np interpolates perspective-correctly per pixel). The cell
+    component quantizes position into an 8³ lattice hashed into a color
+    LUT — hard edges that carry orientation information the way LINEMOD's
+    dense object textures do; the per-vertex-color texture the generator
+    used before is resolution-limited by the 162-vertex icosphere and
+    renders too blurry to disambiguate the pose of a near-convex object.
+    """
+    rs = np.random.RandomState(seed)
+    w1 = rs.randn(3, 3) * 14.0
+    phase = rs.rand(3) * 6.0
+    grat = 0.5 + 0.5 * np.sin(pos01 @ w1 + phase)
+    cell = np.floor(pos01 * 8.0).astype(np.int64)
+    hsh = (cell @ rs.randint(1, 10**6, 3)) % 251
+    lut = rs.rand(251, 3) * 0.9 + 0.05
+    cells = lut[hsh]
+    return np.clip(0.6 * cells + 0.4 * grat, 0.0, 1.0)
+
+
+def render_textured(verts, faces, K, rt, hw, tex_seed: int):
+    """Rasterize with the per-pixel procedural texture: first pass renders
+    normalized object-space positions as 'colors', second maps them through
+    `procedural_texture`. Returns (color, depth, mask) like render_mesh_np."""
+    vmin = verts.min(0)
+    vspan = verts.max(0) - vmin
+    pos_map, dep, mask = render_mesh_np(
+        verts, faces, K, rt, hw, (verts - vmin) / vspan
+    )
+    color = procedural_texture(np.clip(pos_map, 0.0, 1.0), tex_seed)
+    return np.where(mask[..., None] > 0, color, 0.0), dep, mask
+
+
 def random_rotation(rng) -> np.ndarray:
     q = rng.randn(4)
     q /= np.linalg.norm(q)
@@ -132,8 +168,11 @@ def generate_synthetic_dataset(
     seed: int = 0,
     n_keypoints: int = 8,
     depth: bool = False,
+    texture_seed: int | None = None,
 ) -> dict:
-    """Write images/masks/ply/jsons under `root`; returns summary paths."""
+    """Write images/masks/ply/jsons under `root`; returns summary paths.
+    texture_seed is not None: sharp per-pixel procedural texture
+    (see `procedural_texture`) instead of the blurry per-vertex colors."""
     rng = np.random.RandomState(seed)
     h, w = hw
     # scale intrinsics with the frame so geometry stays LINEMOD-like at any
@@ -176,7 +215,12 @@ def generate_synthetic_dataset(
             x = rng.uniform(-0.12, 0.12) * z
             y = rng.uniform(-0.09, 0.09) * z
             rt = np.concatenate([R, np.array([[x], [y], [z]])], -1)
-            color, dep, mask = render_mesh_np(verts, faces, K, rt, hw, colors)
+            if texture_seed is not None:
+                color, dep, mask = render_textured(
+                    verts, faces, K, rt, hw, texture_seed)
+            else:
+                color, dep, mask = render_mesh_np(
+                    verts, faces, K, rt, hw, colors)
             bg = _background(rng, h, w)
             frame = np.where(mask[..., None] > 0, color, bg)
             # mild lighting variation + sensor noise
@@ -254,6 +298,7 @@ def generate_stress_split(
     seed: int = 7,
     n_keypoints: int = 8,
     min_visible: float = 0.15,
+    texture_seed: int | None = None,
 ) -> str:
     """Occlusion / truncation test split over the SAME object as
     `generate_synthetic_dataset` (same mesh seed → same fps_3d/diameter),
@@ -322,7 +367,11 @@ def generate_stress_split(
             x = rng.uniform(-0.12, 0.12) * z
             y = rng.uniform(-0.09, 0.09) * z
         rt = np.concatenate([R, np.array([[x], [y], [z]])], -1)
-        color, dep, mask = render_mesh_np(verts, faces, K, rt, hw, colors)
+        if texture_seed is not None:
+            color, dep, mask = render_textured(
+                verts, faces, K, rt, hw, texture_seed)
+        else:
+            color, dep, mask = render_mesh_np(verts, faces, K, rt, hw, colors)
         full_area = int(mask.sum())
         if full_area < 64:
             continue
