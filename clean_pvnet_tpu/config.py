@@ -85,6 +85,9 @@ class VotingConfig:
     #                               (ref ransac_voting_gpu.py:168-171)
     max_pixels: int = 128         # fixed pixel budget (ref max_num=100, dynamic)
     min_pixels: int = 5           # below this the vote is skipped (ref min_num)
+    approx_fg: bool = False       # approx_max_k pixel selection (TPU-fast;
+    #                               still a uniform subset — see
+    #                               ops/voting.select_foreground)
     # uncertainty path (ref decode_keypoint resnet18.py:65-76)
     un_hypotheses: int = 512
     un_max_pixels: int = 8192     # ref max_num=30000 (dynamic); static budget here

@@ -185,6 +185,7 @@ def decode_keypoints(
                 max_pixels=v.max_pixels,
                 min_pixels=v.min_pixels,
                 confidence=v.confidence,
+                approx_fg=v.approx_fg,
             )
         )(mask, vtx, keys)
         return {
@@ -207,6 +208,7 @@ def decode_keypoints(
             hyp_chunk=128,
             confidence=v.confidence,
             cov_hypotheses=v.cov_hypotheses,
+            approx_fg=v.approx_fg,
         )
     )(mask, vtx, keys)
     return {

@@ -49,12 +49,20 @@ class VoteResult(NamedTuple):
 
 
 def select_foreground(
-    mask: jax.Array, key: jax.Array, max_pixels: int
+    mask: jax.Array, key: jax.Array, max_pixels: int, approx: bool = False
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Sample up to `max_pixels` foreground pixels uniformly w/o replacement.
 
     Replaces the reference's dynamic nonzero + Bernoulli downsample
     (ref ransac_voting_gpu.py:128-143) with a static-shape randomized top-k.
+
+    `approx=True` uses the TPU-optimized `lax.approx_max_k` instead of the
+    exact sort-based top-k. Because the priorities are iid uniform, every
+    foreground pixel is exchangeable, so any value-based (even approximate)
+    selection still yields a uniformly random foreground subset — the only
+    effect is that for images with more foreground than `max_pixels` a few
+    slots may fall to lower-priority pixels (still uniform), and for sparse
+    masks a small fraction (~1-recall) of foreground pixels may be missed.
 
     mask [H, W] -> (coords [T, 2] float (x, y), flat_idx [T] int32, valid [T]).
     Valid entries are contiguous at the front (top-k sorts descending).
@@ -63,7 +71,13 @@ def select_foreground(
     fg = mask > 0
     pri = jax.random.uniform(key, (h, w), minval=1e-6, maxval=1.0)
     pri = jnp.where(fg, pri, -1.0)
-    vals, idx = jax.lax.top_k(pri.reshape(-1), max_pixels)
+    if approx:
+        vals, idx = jax.lax.approx_max_k(
+            pri.reshape(-1), max_pixels, recall_target=0.95,
+            aggregate_to_topk=True,
+        )
+    else:
+        vals, idx = jax.lax.top_k(pri.reshape(-1), max_pixels)
     valid = vals > 0.0
     xs = (idx % w).astype(jnp.float32)
     ys = (idx // w).astype(jnp.float32)
@@ -248,6 +262,7 @@ def _refit(win_pts, direct, coords, valid, inlier_thresh):
         "max_pixels",
         "min_pixels",
         "hyp_chunk",
+        "approx_fg",
     ),
 )
 def ransac_vote(
@@ -261,6 +276,7 @@ def ransac_vote(
     min_pixels: int = 5,
     hyp_chunk: int = 0,
     confidence: float = 0.99,
+    approx_fg: bool = False,
 ) -> VoteResult:
     """Single-image RANSAC voting decode. Use jax.vmap for batches.
 
@@ -279,7 +295,7 @@ def ransac_vote(
     """
     vn = vertex.shape[2]
     k_sel, k_hyp = jax.random.split(key)
-    coords, flat_idx, valid = select_foreground(mask, k_sel, max_pixels)
+    coords, flat_idx, valid = select_foreground(mask, k_sel, max_pixels, approx_fg)
     tv = jnp.sum(valid)
     enough = tv >= min_pixels
 
@@ -363,6 +379,7 @@ def _cov_around_mean(direct, coords, valid, tv, enough, mean, key,
         "min_pixels",
         "hyp_chunk",
         "cov_hypotheses",
+        "approx_fg",
     ),
 )
 def ransac_vote_with_cov(
@@ -377,6 +394,7 @@ def ransac_vote_with_cov(
     hyp_chunk: int = 0,
     confidence: float = 0.99,
     cov_hypotheses: int = 4096,
+    approx_fg: bool = False,
 ) -> tuple[VoteResult, jax.Array]:
     """Fused uncertainty decode: RANSAC vote + covariance in ONE program.
 
@@ -389,7 +407,7 @@ def ransac_vote_with_cov(
     """
     vn = vertex.shape[2]
     k_sel, k_hyp, k_cov = jax.random.split(key, 3)
-    coords, flat_idx, valid = select_foreground(mask, k_sel, max_pixels)
+    coords, flat_idx, valid = select_foreground(mask, k_sel, max_pixels, approx_fg)
     tv = jnp.sum(valid)
     enough = tv >= min_pixels
 
@@ -443,7 +461,8 @@ def ransac_vote_with_cov(
 
 @partial(
     jax.jit,
-    static_argnames=("num_hypotheses", "max_pixels", "min_pixels", "hyp_chunk"),
+    static_argnames=("num_hypotheses", "max_pixels", "min_pixels", "hyp_chunk",
+                     "approx_fg"),
 )
 def estimate_voting_distribution(
     mask: jax.Array,
@@ -455,6 +474,7 @@ def estimate_voting_distribution(
     max_pixels: int = 8192,
     min_pixels: int = 5,
     hyp_chunk: int = 256,
+    approx_fg: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-keypoint voting covariance around a given mean.
 
@@ -467,7 +487,7 @@ def estimate_voting_distribution(
     """
     vn = vertex.shape[2]
     k_sel, k_hyp = jax.random.split(key)
-    coords, flat_idx, valid = select_foreground(mask, k_sel, max_pixels)
+    coords, flat_idx, valid = select_foreground(mask, k_sel, max_pixels, approx_fg)
     tv = jnp.sum(valid)
     enough = tv >= min_pixels
 
