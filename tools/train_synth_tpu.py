@@ -53,6 +53,10 @@ def main():
                     help="per-epoch loss + periodic eval learning curve")
     ap.add_argument("--eval_every", type=int, default=10)
     ap.add_argument("--save_every", type=int, default=10)
+    ap.add_argument("--milestones", type=int, nargs="+", default=None,
+                    help="explicit lr-halving epochs (default: 0.5/0.75/0.9 "
+                         "of --epochs); wall-clock-limited runs converge "
+                         "faster with early decays")
     args = ap.parse_args()
     enable_compilation_cache()
 
@@ -93,7 +97,9 @@ def main():
             "train.image_buckets": (hw,),
             "train.lr": 1e-3,
             "train.milestones": tuple(
-                int(args.epochs * f) for f in (0.5, 0.75, 0.9)
+                args.milestones
+                if args.milestones
+                else (int(args.epochs * f) for f in (0.5, 0.75, 0.9))
             ),
             "train.num_workers": args.workers,
             "train.rotate_min": -args.rotate,
