@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--only", default=None,
                     help="comma-separated subset of ablation names")
+    ap.add_argument("--params", default=None,
+                    help="float16 params npz (tools/export_params_f16.py) "
+                         "to evaluate instead of the orbax checkpoint")
     args = ap.parse_args()
 
     from clean_pvnet_tpu.config import Config
@@ -116,10 +119,25 @@ def main():
     mesh = make_mesh(num_devices=1)
     trainer = Trainer(base_cfg, model, steps_per_epoch=1, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(0), (1, 480, 640, 3))
-    state, epoch = CheckpointIO(os.path.join(args.root, "ckpt")).restore(state)
-    if epoch < 0:
-        raise SystemExit(f"no checkpoint under {args.root}/ckpt — train first")
-    print(f"restored epoch {epoch}")
+    if args.params:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+        from export_params_f16 import load_params_f16
+
+        loaded = load_params_f16(
+            args.params,
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
+        state = state.replace(params=loaded["params"],
+                              batch_stats=loaded["batch_stats"])
+        epoch = -1
+        print(f"loaded params from {args.params}")
+    else:
+        state, epoch = CheckpointIO(
+            os.path.join(args.root, "ckpt")).restore(state)
+        if epoch < 0:
+            raise SystemExit(
+                f"no checkpoint under {args.root}/ckpt — train first")
+        print(f"restored epoch {epoch}")
 
     results = {"epoch": int(epoch), "root": args.root, "ablations": {}}
     for name, overrides, un_pnp, split in ablations:
