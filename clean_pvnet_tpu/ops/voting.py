@@ -49,7 +49,8 @@ class VoteResult(NamedTuple):
 
 
 def select_foreground(
-    mask: jax.Array, key: jax.Array, max_pixels: int, approx: bool = False
+    mask: jax.Array, key: jax.Array, max_pixels: int, approx: bool = False,
+    weights: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Sample up to `max_pixels` foreground pixels uniformly w/o replacement.
 
@@ -64,12 +65,23 @@ def select_foreground(
     slots may fall to lower-priority pixels (still uniform), and for sparse
     masks a small fraction (~1-recall) of foreground pixels may be missed.
 
+    Optional `weights` [H, W] bias the sample toward confident pixels
+    (e.g. softmax segmentation probability) while staying a true sample
+    without replacement — the reference always samples uniformly.
+
     mask [H, W] -> (coords [T, 2] float (x, y), flat_idx [T] int32, valid [T]).
     Valid entries are contiguous at the front (top-k sorts descending).
     """
     h, w = mask.shape
     fg = mask > 0
     pri = jax.random.uniform(key, (h, w), minval=1e-6, maxval=1.0)
+    if weights is not None:
+        # Efraimidis–Spirakis keys u^(1/w): top-k of these IS a weighted
+        # sample without replacement, so confidence-weighted sampling
+        # (neural-guided-RANSAC-style, arXiv:1905.04132) drops straight
+        # into the same top-k machinery. w<=0 pixels never win over w>0.
+        pri = pri ** (1.0 / jnp.maximum(weights, 1e-6))
+        pri = jnp.where(weights > 0, pri, 0.0)
     pri = jnp.where(fg, pri, -1.0)
     if approx:
         vals, idx = jax.lax.approx_max_k(

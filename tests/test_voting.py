@@ -331,3 +331,39 @@ class TestVotingDistribution:
             num_hypotheses=512, max_pixels=256, hyp_chunk=128,
         )
         assert float(np.abs(np.asarray(cov)).max()) < 1.0
+
+
+class TestWeightedSelection:
+    def test_weights_bias_and_exclude(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from clean_pvnet_tpu.ops.voting import select_foreground
+
+        h, w = 32, 32
+        mask = jnp.ones((h, w), jnp.float32)
+        # left half weight 10, right half weight 0.1, one zero-weight pixel
+        weights = np.full((h, w), 0.1, np.float32)
+        weights[:, : w // 2] = 10.0
+        weights[0, 0] = 0.0
+        hits = np.zeros((h, w))
+        for s in range(20):
+            coords, idx, valid = select_foreground(
+                mask, jax.random.PRNGKey(s), 64, weights=jnp.asarray(weights)
+            )
+            c = np.asarray(coords[np.asarray(valid)]).astype(int)
+            hits[c[:, 1], c[:, 0]] += 1
+        left = hits[:, : w // 2].sum()
+        right = hits[:, w // 2:].sum()
+        assert left > 3 * right, (left, right)   # strong bias to high weight
+        assert hits[0, 0] == 0                   # zero weight never sampled
+
+    def test_uniform_when_weights_none_matches_old_contract(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from clean_pvnet_tpu.ops.voting import select_foreground
+
+        mask = jnp.zeros((16, 16), jnp.float32).at[4:8, 4:8].set(1.0)
+        coords, idx, valid = select_foreground(mask, jax.random.PRNGKey(0), 32)
+        assert int(np.asarray(valid).sum()) == 16  # all 16 fg pixels selected
