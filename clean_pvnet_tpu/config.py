@@ -85,6 +85,8 @@ class VotingConfig:
     #                               (ref ransac_voting_gpu.py:168-171)
     max_pixels: int = 128         # fixed pixel budget (ref max_num=100, dynamic)
     min_pixels: int = 5           # below this the vote is skipped (ref min_num)
+    weighted_fg: bool = False     # seg-confidence-weighted pixel sampling
+    #                               (Efraimidis-Spirakis keys; beyond-reference)
     approx_fg: bool = False       # approx_max_k pixel selection (TPU-fast;
     #                               still a uniform subset — see
     #                               ops/voting.select_foreground)

@@ -173,9 +173,17 @@ def decode_keypoints(
             "valid": jnp.any(kpt_valid, -1),
         }
 
+    # optional seg-confidence weighting of the pixel sample (beyond-reference;
+    # neural-guided-RANSAC-style): weight = P(foreground) from the softmax
+    fg_w = (
+        (1.0 - jax.nn.softmax(seg.astype(jnp.float32), -1)[..., 0],)
+        if v.weighted_fg
+        else ()
+    )
+
     if not un_pnp:
         res = jax.vmap(
-            lambda m, vv, k: ransac_vote(
+            lambda m, vv, k, *fw: ransac_vote(
                 m,
                 vv,
                 k,
@@ -186,8 +194,9 @@ def decode_keypoints(
                 min_pixels=v.min_pixels,
                 confidence=v.confidence,
                 approx_fg=v.approx_fg,
+                fg_weights=fw[0] if fw else None,
             )
-        )(mask, vtx, keys)
+        )(mask, vtx, keys, *fg_w)
         return {
             "mask": mask,
             "kpt_2d": res.kpt_2d,
@@ -196,7 +205,7 @@ def decode_keypoints(
         }
 
     res, var = jax.vmap(
-        lambda m, vv, k: ransac_vote_with_cov(
+        lambda m, vv, k, *fw: ransac_vote_with_cov(
             m,
             vv,
             k,
@@ -209,8 +218,9 @@ def decode_keypoints(
             confidence=v.confidence,
             cov_hypotheses=v.cov_hypotheses,
             approx_fg=v.approx_fg,
+            fg_weights=fw[0] if fw else None,
         )
-    )(mask, vtx, keys)
+    )(mask, vtx, keys, *fg_w)
     return {
         "mask": mask,
         "kpt_2d": res.kpt_2d,

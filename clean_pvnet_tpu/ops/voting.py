@@ -289,6 +289,7 @@ def ransac_vote(
     hyp_chunk: int = 0,
     confidence: float = 0.99,
     approx_fg: bool = False,
+    fg_weights: jax.Array | None = None,
 ) -> VoteResult:
     """Single-image RANSAC voting decode. Use jax.vmap for batches.
 
@@ -307,7 +308,9 @@ def ransac_vote(
     """
     vn = vertex.shape[2]
     k_sel, k_hyp = jax.random.split(key)
-    coords, flat_idx, valid = select_foreground(mask, k_sel, max_pixels, approx_fg)
+    coords, flat_idx, valid = select_foreground(
+        mask, k_sel, max_pixels, approx_fg, weights=fg_weights
+    )
     tv = jnp.sum(valid)
     enough = tv >= min_pixels
 
@@ -407,6 +410,7 @@ def ransac_vote_with_cov(
     confidence: float = 0.99,
     cov_hypotheses: int = 4096,
     approx_fg: bool = False,
+    fg_weights: jax.Array | None = None,
 ) -> tuple[VoteResult, jax.Array]:
     """Fused uncertainty decode: RANSAC vote + covariance in ONE program.
 
@@ -419,7 +423,9 @@ def ransac_vote_with_cov(
     """
     vn = vertex.shape[2]
     k_sel, k_hyp, k_cov = jax.random.split(key, 3)
-    coords, flat_idx, valid = select_foreground(mask, k_sel, max_pixels, approx_fg)
+    coords, flat_idx, valid = select_foreground(
+        mask, k_sel, max_pixels, approx_fg, weights=fg_weights
+    )
     tv = jnp.sum(valid)
     enough = tv >= min_pixels
 
