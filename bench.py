@@ -25,6 +25,9 @@ def main():
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--un_pnp", action="store_true")
+    parser.add_argument("--cascade", action="store_true",
+                        help="benchmark the detector→per-crop-PVNet cascade "
+                             "(the T-LESS two-stage serving path)")
     parser.add_argument("--float32_input", action="store_true",
                         help="ship float32 frames instead of uint8")
     args = parser.parse_args()
@@ -37,8 +40,55 @@ def main():
     enable_compilation_cache()
 
     cfg = Config()
-    model = make_network(cfg)
     rng = np.random.RandomState(0)
+
+    if args.cascade:
+        # detector (DLA-34 CenterNet) → batched crops → per-crop PVNet,
+        # ONE jitted program (models/cascade.py; ref ct_pvnet/res.py:74-84)
+        import jax.numpy as jnp_  # noqa: F401 (parity with main path imports)
+        from clean_pvnet_tpu.models.cascade import CascadePipeline
+        from clean_pvnet_tpu.models.dla import DLASeg
+        from clean_pvnet_tpu.models.pvnet import PVNet
+
+        b, h, w = min(args.batch, 16), 480, 640
+        detector = DLASeg(heads={"ct_hm": 30, "wh": 2}, head_conv=256)
+        pvnet = PVNet(ver_dim=18, seg_dim=2)
+        det_vars = detector.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+        pv_vars = pvnet.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), train=False)
+        pipe = CascadePipeline(cfg, detector, pvnet,
+                               max_dets=8, crop_size=128)
+        img = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+        key0 = jax.random.PRNGKey(0)
+
+        def chained_c(n):
+            x = img
+            out = None
+            for i in range(n):
+                out = pipe(det_vars, pv_vars, x, jax.random.fold_in(key0, i))
+                x = img + (out["kpt_2d"][0, 0, 0, 0] * 0).astype(img.dtype)
+            return out
+
+        np.asarray(chained_c(args.warmup)["kpt_2d"])
+        n1 = max(1, args.iters // 5)
+        t0 = time.perf_counter()
+        np.asarray(chained_c(n1)["kpt_2d"])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(chained_c(args.iters)["kpt_2d"])
+        dt = max(time.perf_counter() - t0 - t1, 1e-9)
+        fps = (args.iters - n1) * b / dt
+        print(json.dumps({
+            "metric": "frames/s/chip at 480x640 "
+                      "(DLA-34 detector + 8-crop PVNet cascade)",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 10.0, 2),  # ref two-stage ~10 fps class
+        }))
+        return
+
+    model = make_network(cfg)
 
     b, h, w = args.batch, 480, 640
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
