@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import jax
@@ -79,11 +80,15 @@ def main():
         np.asarray(chained_c(args.iters)["kpt_2d"])
         dt = max(time.perf_counter() - t0 - t1, 1e-9)
         fps = (args.iters - n1) * b / dt
+        if b != args.batch:
+            print(f"note: cascade batch clamped {args.batch} -> {b}",
+                  file=sys.stderr)
         print(json.dumps({
             "metric": "frames/s/chip at 480x640 "
                       "(DLA-34 detector + 8-crop PVNet cascade)",
             "value": round(fps, 2),
             "unit": "frames/s",
+            "batch": b,  # effective batch actually measured (ADVICE r2)
             "vs_baseline": round(fps / 10.0, 2),  # ref two-stage ~10 fps class
         }))
         return

@@ -74,15 +74,20 @@ def select_foreground(
     """
     h, w = mask.shape
     fg = mask > 0
-    pri = jax.random.uniform(key, (h, w), minval=1e-6, maxval=1.0)
+    u = jax.random.uniform(key, (h, w), minval=1e-6, maxval=1.0)
     if weights is not None:
-        # Efraimidis–Spirakis keys u^(1/w): top-k of these IS a weighted
-        # sample without replacement, so confidence-weighted sampling
-        # (neural-guided-RANSAC-style, arXiv:1905.04132) drops straight
-        # into the same top-k machinery. w<=0 pixels never win over w>0.
-        pri = pri ** (1.0 / jnp.maximum(weights, 1e-6))
-        pri = jnp.where(weights > 0, pri, 0.0)
-    pri = jnp.where(fg, pri, -1.0)
+        # Efraimidis–Spirakis keys in LOG space: top-k of log(u)/w is the
+        # same weighted sample without replacement as top-k of u^(1/w)
+        # (neural-guided-RANSAC-style, arXiv:1905.04132) but never
+        # underflows — u^(1/w) hits exactly 0 in fp32 for w ≲ 0.01, which
+        # silently dropped small-weight pixels from the valid set.
+        # log(u) ∈ (-13.8, 0); keys are finite for any weight > 0.
+        pri = jnp.log(u) / jnp.maximum(weights, 1e-6)
+        pri = jnp.where(fg & (weights > 0), pri, -jnp.inf)
+        floor = jnp.float32(-1e30)  # any finite key beats this
+    else:
+        pri = jnp.where(fg, u, -jnp.inf)
+        floor = jnp.float32(0.0)
     if approx:
         vals, idx = jax.lax.approx_max_k(
             pri.reshape(-1), max_pixels, recall_target=0.95,
@@ -90,7 +95,9 @@ def select_foreground(
         )
     else:
         vals, idx = jax.lax.top_k(pri.reshape(-1), max_pixels)
-    valid = vals > 0.0
+    # validity by finiteness of the key, not positivity — stable for any
+    # positive weight (ADVICE r2)
+    valid = vals > floor if weights is None else jnp.isfinite(vals)
     xs = (idx % w).astype(jnp.float32)
     ys = (idx // w).astype(jnp.float32)
     coords = jnp.stack([xs, ys], -1)
@@ -149,6 +156,15 @@ def generate_hypotheses_rolled(
     but it needs two [hn]-row gathers instead of hn·vn·2 element gathers,
     and shares the pixel pair across keypoints (each keypoint still gets an
     independent ray intersection from its own direction field).
+
+    Interaction with weighted sampling (ADVICE r2): when the caller selected
+    pixels with `weights`, the front-packed order is sorted by descending
+    E-S key, so the deterministic i0 = arange(hn) % tv walks the hn most
+    *confident* pixels first rather than a weighted random draw (i1 stays a
+    uniform random partner). This bias toward confident first-ray pixels is
+    intentional — it is the neural-guided-RANSAC behavior the weighting
+    exists for — but callers wanting an unbiased weighted pair should pass a
+    random `start` offset.
     Returns hyp [hn, vn, 2]; near-parallel pairs produce (0, 0).
     """
     tv = jnp.maximum(valid_count, 1).astype(jnp.int32)

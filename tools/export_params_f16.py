@@ -28,7 +28,13 @@ def save_params_f16(path: str, variables: dict) -> None:
     for kp, leaf in flat:
         key = "/".join(str(getattr(k, "key", k)) for k in kp)
         arr = np.asarray(leaf)
-        out[key] = arr.astype(np.float16) if arr.dtype == np.float32 else arr
+        if arr.dtype == np.float32 and not key.startswith("batch_stats"):
+            # params are tiny-magnitude; batch_stats variances can exceed
+            # f16 max (65504) and would silently round-trip as inf
+            # (ADVICE r2) — keep stats in f32, they are small anyway.
+            arr = arr.astype(np.float16)
+            assert np.isfinite(arr).all(), f"f16 overflow in {key}"
+        out[key] = arr
     np.savez_compressed(path, **out)
 
 
