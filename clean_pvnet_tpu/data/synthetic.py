@@ -159,6 +159,38 @@ def _background(rng, h, w):
     return np.clip(0.7 * base + 0.3 * noise, 0, 1)
 
 
+def _composite_occluders(rng, occluders, K, hw, x, y, z, zbuf, frame_color,
+                         vis, n_occ, z_near=(0.7, 0.92), obj_radius=0.08):
+    """Render `n_occ` distractor meshes in front of the target and composite
+    them into (zbuf, frame_color, vis). Shared by the occlusion stress split
+    and train-time occluder augmentation (the reference's fuse pathway,
+    ref lib/datasets/linemod/linemod_to_coco.py:260-301 'fuse' records and
+    lib/datasets/tless/fuse.py:21-78 compose distractors into train scenes).
+    Returns the updated (zbuf, frame_color, vis)."""
+    h, w = hw
+    for _ in range(n_occ):
+        ov, of, oc = occluders[rng.randint(len(occluders))]
+        oR = random_rotation(rng)
+        oz = z * rng.uniform(*z_near)
+        # aim at the target's silhouette: offset the occluder center by
+        # ~0.5-1.5 object radii in a random direction so it clips a side
+        # instead of blotting out the whole object (partial occlusion is
+        # what the fuse pathway trains against)
+        ang = rng.uniform(0.0, 2.0 * np.pi)
+        mag = rng.uniform(0.5, 1.5) * obj_radius
+        jx = x * oz / z + np.cos(ang) * mag
+        jy = y * oz / z + np.sin(ang) * mag
+        ort = np.concatenate([oR, np.array([[jx], [jy], [oz]])], -1)
+        ocolor, odep, omask = render_mesh_np(ov, of, K, ort, hw, oc)
+        in_front = omask.astype(bool) & (
+            np.where(odep > 0, odep, np.inf) < zbuf
+        )
+        zbuf = np.where(in_front, odep, zbuf)
+        frame_color = np.where(in_front[..., None], ocolor, frame_color)
+        vis = vis & ~in_front
+    return zbuf, frame_color, vis
+
+
 def generate_synthetic_dataset(
     root: str,
     cls: str = "synth",
@@ -169,10 +201,17 @@ def generate_synthetic_dataset(
     n_keypoints: int = 8,
     depth: bool = False,
     texture_seed: int | None = None,
+    occlude_frac: float = 0.0,
 ) -> dict:
     """Write images/masks/ply/jsons under `root`; returns summary paths.
     texture_seed is not None: sharp per-pixel procedural texture
-    (see `procedural_texture`) instead of the blurry per-vertex colors."""
+    (see `procedural_texture`) instead of the blurry per-vertex colors.
+    occlude_frac > 0: that fraction of TRAIN images get 1-2 distractor
+    meshes composited in front of the target (visible ratio kept in
+    [0.35, 0.95]); the mask records only visible pixels — train-time
+    occluder augmentation mirroring the reference's fuse data
+    (ref linemod_to_coco.py:260-301), which is what makes the occlusion
+    eval measure decode robustness instead of distribution shift."""
     rng = np.random.RandomState(seed)
     h, w = hw
     # scale intrinsics with the frame so geometry stays LINEMOD-like at any
@@ -205,6 +244,12 @@ def generate_synthetic_dataset(
         ]
     )
 
+    occluders = (
+        [make_synthetic_mesh(seed=200 + i, radius=0.05) for i in range(4)]
+        if occlude_frac > 0
+        else []
+    )
+
     def render_split(split, n, id_base):
         images, annotations = [], []
         for i in range(n):
@@ -221,15 +266,50 @@ def generate_synthetic_dataset(
             else:
                 color, dep, mask = render_mesh_np(
                     verts, faces, K, rt, hw, colors)
+
+            vis = mask.astype(bool)
+            frame_color = color
+            full_area = max(int(mask.sum()), 1)
+            if split == "train" and occluders and rng.rand() < occlude_frac:
+                # train-time occluder augmentation (ref fuse pathway): draw a
+                # few candidate composites and keep the one whose visible
+                # ratio lands closest to the middle of [0.35, 0.95] — a
+                # plain accept/reject leaves most images clean at small
+                # scales where a foreground occluder covers nearly all or
+                # nearly none of the target.
+                zbuf0 = np.where(mask > 0, dep, np.inf)
+                best = None
+                best_score = np.inf
+                for _ in range(6):
+                    zb2, fc2, vis2 = _composite_occluders(
+                        rng, occluders, K, hw, x, y, z,
+                        zbuf0, frame_color, vis, n_occ=rng.randint(1, 3),
+                    )
+                    ratio = vis2.sum() / full_area
+                    if ratio < 0.35:
+                        continue  # occluded into oblivion
+                    score = abs(ratio - 0.65)
+                    if score < best_score:
+                        best, best_score = (zb2, fc2, vis2), score
+                    if 0.35 <= ratio <= 0.95:
+                        break
+                if best is not None:
+                    zbuf0, frame_color, vis = best
+                covered = np.isfinite(zbuf0) | vis
+            else:
+                covered = vis
+
             bg = _background(rng, h, w)
-            frame = np.where(mask[..., None] > 0, color, bg)
+            frame = np.where(covered[..., None], frame_color, bg)
             # mild lighting variation + sensor noise
             frame = np.clip(frame * rng.uniform(0.85, 1.15) + rng.randn(h, w, 3) * 0.01, 0, 1)
 
             img_path = os.path.join(cls_dir, "rgb", f"{split}_{i:05d}.png")
             mask_path = os.path.join(cls_dir, "mask", f"{split}_{i:05d}.png")
             Image.fromarray((frame * 255).astype(np.uint8)).save(img_path)
-            Image.fromarray((mask * 255).astype(np.uint8)).save(mask_path)
+            Image.fromarray(
+                (vis.astype(np.uint8) * 255)
+            ).save(mask_path)
             if depth:
                 depth_path = os.path.join(cls_dir, "depth", f"{split}_{i:05d}.png")
                 Image.fromarray(
@@ -380,22 +460,10 @@ def generate_stress_split(
         frame_color = color
         vis = mask.astype(bool)
         if kind == "occlusion":
-            n_occ = rng.randint(1, 3)
-            for _ in range(n_occ):
-                ov, of, oc = occluders[rng.randint(len(occluders))]
-                oR = random_rotation(rng)
-                # place the occluder in front of the target, overlapping it
-                oz = z * rng.uniform(0.7, 0.92)
-                jx = x * oz / z + rng.uniform(-0.03, 0.03) * oz
-                jy = y * oz / z + rng.uniform(-0.03, 0.03) * oz
-                ort = np.concatenate([oR, np.array([[jx], [jy], [oz]])], -1)
-                ocolor, odep, omask = render_mesh_np(ov, of, K, ort, hw, oc)
-                in_front = omask.astype(bool) & (
-                    np.where(odep > 0, odep, np.inf) < zbuf
-                )
-                zbuf = np.where(in_front, odep, zbuf)
-                frame_color = np.where(in_front[..., None], ocolor, frame_color)
-                vis = vis & ~in_front
+            zbuf, frame_color, vis = _composite_occluders(
+                rng, occluders, K, hw, x, y, z, zbuf, frame_color, vis,
+                n_occ=rng.randint(1, 3),
+            )
             visible_ratio = vis.sum() / max(full_area, 1)
             if visible_ratio < min_visible or visible_ratio > 0.85:
                 continue  # not occluded enough / nothing left to see

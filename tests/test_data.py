@@ -118,6 +118,46 @@ class TestSyntheticDataset:
         np.testing.assert_allclose(mesh["pts"], verts, atol=1e-4)
         assert mesh["faces"].shape[1] == 3
 
+    def test_occluder_augmented_training_split(self, tmp_path):
+        """occlude_frac composites distractors into TRAIN images: the saved
+        mask must be the VISIBLE-pixel subset of a clean re-render (the
+        reference's fuse-record convention, ref linemod_to_coco.py:260-301)
+        and a solid majority of images must actually lose pixels."""
+        from PIL import Image
+
+        from clean_pvnet_tpu.ops.rasterize import render_mesh_np as rmn
+
+        meta = generate_synthetic_dataset(
+            str(tmp_path), cls="obj", n_train=6, n_test=2, hw=(96, 128),
+            seed=0, occlude_frac=1.0,
+        )
+        with open(meta["train_json"]) as f:
+            data = json.load(f)
+        verts, faces, colors = make_synthetic_mesh(0)
+        occluded = 0
+        for ann in data["annotations"]:
+            saved = np.asarray(Image.open(ann["mask_path"])) > 0
+            K = np.asarray(ann["K"])
+            rt = np.asarray(ann["pose"])
+            _, _, full = rmn(verts, faces, K, rt, (96, 128), colors)
+            full = full.astype(bool)
+            # visible mask ⊆ full render, and annotation pose still exact
+            assert not (saved & ~full).any()
+            ratio = saved.sum() / max(full.sum(), 1)
+            assert ratio >= 0.3  # never occluded into oblivion
+            if ratio < 0.97:
+                occluded += 1
+        assert occluded >= 3, occluded
+
+        # test split stays clean (occluders are train-only augmentation)
+        with open(meta["test_json"]) as f:
+            tdata = json.load(f)
+        for ann in tdata["annotations"]:
+            saved = np.asarray(Image.open(ann["mask_path"])) > 0
+            _, _, full = rmn(verts, faces, np.asarray(ann["K"]),
+                             np.asarray(ann["pose"]), (96, 128), colors)
+            assert (saved == full.astype(bool)).all()
+
 
 class TestLinemodDataset:
     def test_getitem_test_split(self, synth_root):

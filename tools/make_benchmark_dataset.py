@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--n_stress", type=int, default=160)
     ap.add_argument("--hw", type=int, nargs=2, default=(480, 640))
     ap.add_argument("--texture_seed", type=int, default=7)
+    ap.add_argument("--occlude_frac", type=float, default=0.0,
+                    help="fraction of train images with 1-2 distractors "
+                         "composited in front (train-time occluder "
+                         "augmentation, the reference's fuse pathway)")
     args = ap.parse_args()
     hw = tuple(args.hw)
 
@@ -40,6 +44,7 @@ def main():
     synth = generate_synthetic_dataset(
         args.root, cls="synth", n_train=args.n_train, n_test=args.n_test,
         hw=hw, seed=0, depth=True, texture_seed=args.texture_seed,
+        occlude_frac=args.occlude_frac,
     )
     print(f"train/test generated in {time.time()-t0:.0f}s", flush=True)
 
