@@ -12,3 +12,6 @@ from clean_pvnet_tpu.parallel.refine_sharded import (  # noqa: F401
     make_sharded_refiner,
     refine_instances,
 )
+from clean_pvnet_tpu.parallel.voting_sharded import (  # noqa: F401
+    make_sharded_vote,
+)
