@@ -26,6 +26,10 @@ def main():
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--un_pnp", action="store_true")
+    parser.add_argument("--chunk", type=int, default=None,
+                        help="sub-batch size streamed via lax.map inside the "
+                             "jitted pipeline; lifts the batch-128 HBM "
+                             "ceiling on the covariance decode")
     parser.add_argument("--cascade", action="store_true",
                         help="benchmark the detector→per-crop-PVNet cascade "
                              "(the T-LESS two-stage serving path)")
@@ -105,7 +109,7 @@ def main():
     )
     pipeline = InferencePipeline(
         cfg, model, kpt_3d, un_pnp=args.un_pnp,
-        accept_uint8=not args.float32_input,
+        accept_uint8=not args.float32_input, chunk=args.chunk,
     )
 
     if args.float32_input:

@@ -1,0 +1,319 @@
+"""Cascade accuracy record: train the CenterNet detector on multi-object
+scenes, train a per-class crop PVNet, then run the full two-stage
+detector→crop→PVNet→PnP evaluation — the reference's T-LESS pathway
+(ref lib/networks/ct_pvnet/res.py:74-84 cascade forward,
+lib/evaluators/tless_test/ct.py:32-79 detector eval,
+lib/datasets/tless_test/pvnet.py:33-93 detection-driven pose test).
+
+Produces data/record/cascade_r3.json with the detection-mAP curve, the
+two-stage ADD/proj2d for obj_01, and stage provenance (VERDICT r2 item 4).
+
+  python tools/train_cascade_tpu.py [--det_epochs 24] [--pose_epochs 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clean_pvnet_tpu.config import Config
+from clean_pvnet_tpu.data import DataLoader
+from clean_pvnet_tpu.data.detection import DetectionSceneDataset
+from clean_pvnet_tpu.data.synthetic import generate_multiobject_dataset
+from clean_pvnet_tpu.data.tless_pose import (
+    DetectionPoseDataset,
+    TlessPoseTrainDataset,
+)
+from clean_pvnet_tpu.eval.metrics import add_error, projection_2d_error
+from clean_pvnet_tpu.eval.tless import detection_map
+from clean_pvnet_tpu.geometry.pnp import solve_pnp
+from clean_pvnet_tpu.models import make_network
+from clean_pvnet_tpu.models.pvnet import decode_keypoints
+from clean_pvnet_tpu.parallel import make_mesh, shard_batch
+from clean_pvnet_tpu.train import Trainer
+from clean_pvnet_tpu.utils.cache import enable_compilation_cache
+from clean_pvnet_tpu.utils.ply import load_ply
+
+HW = (256, 320)
+DOWN = 4
+
+
+def ensure_datasets(root, n_train=600, n_test=100):
+    out = {}
+    for split, n, seed in (("train", n_train, 0), ("test", n_test, 1)):
+        path = os.path.join(root, split, "scenes.json")
+        if not os.path.exists(path):
+            print(f"generating {split} scenes...", flush=True)
+            generate_multiobject_dataset(
+                os.path.join(root, split), num_classes=3, n_scenes=n,
+                max_inst=4, hw=HW, seed=seed,
+            )
+        out[split] = path
+    return out
+
+
+def eval_detector(trainer, state, test_ds, score_thresh=0.3):
+    """Detection mAP over the test scenes + results list for stage 2."""
+    loader = DataLoader(test_ds, 4, shuffle=False, buckets=(HW,),
+                        num_workers=2, drop_last=False)
+    gts, preds, results = [], [], []
+    for batch in loader:
+        out = trainer._eval_step(state, jnp.asarray(batch["inp"]))
+        bboxes = np.asarray(out["bboxes"]) * DOWN  # grid → image px
+        scores = np.asarray(out["scores"])
+        classes = np.asarray(out["classes"])
+        for j, meta in enumerate(batch["meta"]):
+            anns = meta["anns"]
+            gts.append(
+                [
+                    (a["category_id"] - 1,
+                     np.asarray(
+                         [a["bbox"][0], a["bbox"][1],
+                          a["bbox"][0] + a["bbox"][2],
+                          a["bbox"][1] + a["bbox"][3]], np.float32))
+                    for a in anns
+                ]
+            )
+            keep = scores[j] > score_thresh
+            preds.append(
+                [
+                    (int(classes[j, k]), float(scores[j, k]), bboxes[j, k])
+                    for k in np.nonzero(keep)[0]
+                ]
+            )
+            for k in np.nonzero(keep)[0]:
+                x1, y1, x2, y2 = bboxes[j, k]
+                results.append(
+                    {
+                        "image_id": int(batch["img_id"][j]),
+                        "category_id": int(classes[j, k]) + 1,
+                        "bbox": [float(x1), float(y1),
+                                 float(x2 - x1), float(y2 - y1)],
+                        "score": float(scores[j, k]),
+                    }
+                )
+    m = detection_map(gts, preds)
+    return m, results
+
+
+def box_iou(a, b):
+    ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+    ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(ix2 - ix1, 0.0) * max(iy2 - iy1, 0.0)
+    ar_a = (a[2] - a[0]) * (a[3] - a[1])
+    ar_b = (b[2] - b[0]) * (b[3] - b[1])
+    return inter / max(ar_a + ar_b - inter, 1e-9)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="data/cascade_r3")
+    ap.add_argument("--det_epochs", type=int, default=24)
+    ap.add_argument("--pose_epochs", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--out", default="data/record/cascade_r3.json")
+    ap.add_argument("--n_train_scenes", type=int, default=600)
+    ap.add_argument("--n_test_scenes", type=int, default=100)
+    args = ap.parse_args()
+    enable_compilation_cache()
+    t_start = time.time()
+
+    jsons = ensure_datasets(args.root, args.n_train_scenes,
+                            args.n_test_scenes)
+    mesh = make_mesh(num_devices=1)
+    record = {"config": vars(args), "hw": list(HW)}
+
+    # ---------------- stage 1: detector ---------------------------------
+    det_cfg = Config().with_overrides(
+        {
+            "task": "ct",
+            "network.name": "dla34",
+            "network.task": "ct",
+            "network.ct_num_classes": 3,
+            "train.batch_size": args.batch,
+            "train.image_buckets": (HW,),
+            "train.lr": 1e-3,
+            "train.milestones": tuple(
+                int(args.det_epochs * f) for f in (0.5, 0.75, 0.9)
+            ),
+        }
+    )
+    detector = make_network(det_cfg)
+    train_ds = DetectionSceneDataset(det_cfg, jsons["train"], split="train",
+                                     num_classes=3)
+    test_ds = DetectionSceneDataset(det_cfg, jsons["test"], split="test",
+                                    num_classes=3)
+    loader = DataLoader(train_ds, args.batch, buckets=(HW,), num_workers=3)
+    det_trainer = Trainer(det_cfg, detector, steps_per_epoch=len(loader),
+                          mesh=mesh)
+    det_state = det_trainer.init_state(jax.random.PRNGKey(0),
+                                       (1, HW[0], HW[1], 3))
+    det_curve = []
+    for epoch in range(args.det_epochs):
+        te = time.time()
+        for batch in loader:
+            b = {k: batch[k] for k in ("inp", "ct_hm", "wh", "ct_ind",
+                                       "ct_valid")}
+            det_state, stats = det_trainer._train_step(
+                det_state, shard_batch(b, mesh))
+        entry = {"epoch": epoch, "loss": float(stats["loss"]),
+                 "hm": float(stats["hm_loss"]), "wh": float(stats["wh_loss"]),
+                 "seconds": round(time.time() - te, 1)}
+        if (epoch + 1) % 8 == 0 or epoch == args.det_epochs - 1:
+            m, results = eval_detector(det_trainer, det_state, test_ds)
+            entry["map"] = m
+            print(f"det epoch {epoch}: loss {entry['loss']:.4f} mAP {m}",
+                  flush=True)
+        else:
+            print(f"det epoch {epoch}: loss {entry['loss']:.4f} "
+                  f"({entry['seconds']}s)", flush=True)
+        det_curve.append(entry)
+    record["detector_curve"] = det_curve
+    record["detector_map"] = det_curve[-1]["map"]
+    det_file = os.path.join(args.root, "det_results.json")
+    with open(det_file, "w") as f:
+        json.dump(results, f)
+    print(f"detector results → {det_file} ({len(results)} dets)")
+
+    # ---------------- stage 2: per-class crop PVNet ----------------------
+    pose_cfg = Config().with_overrides(
+        {
+            "cls_type": "obj_01",
+            "train.batch_size": 16,
+            "train.image_buckets": ((128, 128),),
+            "train.epoch_size": 512,
+            "train.lr": 1e-3,
+            "train.milestones": tuple(
+                int(args.pose_epochs * f) for f in (0.5, 0.75, 0.9)
+            ),
+            "voting.max_pixels": 1024,
+            "voting.num_hypotheses": 128,
+        }
+    )
+    pose_model = make_network(pose_cfg)
+    pose_ds = TlessPoseTrainDataset(pose_cfg, jsons["train"], crop_size=128,
+                                    host_vertex=False)
+    pose_loader = DataLoader(pose_ds, 16, buckets=((128, 128),),
+                             num_workers=3)
+    pose_trainer = Trainer(pose_cfg, pose_model,
+                           steps_per_epoch=len(pose_loader), mesh=mesh)
+    pose_state = pose_trainer.init_state(jax.random.PRNGKey(1),
+                                         (1, 128, 128, 3))
+    pose_curve = []
+    for epoch in range(args.pose_epochs):
+        te = time.time()
+        for batch in pose_loader:
+            b = {k: batch[k] for k in ("inp", "mask", "kpt_2d")}
+            pose_state, stats = pose_trainer._train_step(
+                pose_state, shard_batch(b, mesh))
+        entry = {"epoch": epoch, "loss": float(stats["loss"]),
+                 "vote": float(stats["vote_loss"]),
+                 "seconds": round(time.time() - te, 1)}
+        pose_curve.append(entry)
+        print(f"pose epoch {epoch}: loss {entry['loss']:.4f} "
+              f"({entry['seconds']}s)", flush=True)
+    record["pose_curve"] = pose_curve
+
+    # ---------------- stage 3: two-stage eval (obj_01) -------------------
+    # detections → crops → PVNet keypoints → image space → PnP → ADD
+    det_pose_ds = DetectionPoseDataset(pose_cfg, jsons["test"],
+                                       det_file=det_file, crop_size=128)
+    kpt_3d = np.concatenate([pose_ds.fps_3d, [pose_ds.center_3d]], 0)
+    cls_dir = os.path.join(args.root, "train", "obj_01")
+    mesh_ply = load_ply(os.path.join(cls_dir, "obj_01.ply"))
+    with open(os.path.join(jsons["test"])) as f:
+        test_data = json.load(f)
+    gt_by_img = {}
+    for a in test_data["annotations"]:
+        gt_by_img.setdefault(a["image_id"], []).append(a)
+    d2 = ((mesh_ply["pts"][:, None] - mesh_ply["pts"][None]) ** 2).sum(-1)
+    diameter = float(np.sqrt(d2.max()))
+
+    @jax.jit
+    def pose_forward(variables, inp):
+        return pose_model.apply(variables, inp, train=False)
+
+    variables = {"params": pose_state.params,
+                 "batch_stats": pose_state.batch_stats}
+    n_det = len(det_pose_ds)
+    adds, projs, matched = [], [], 0
+    cls1 = [i for i in range(n_det)
+            if det_pose_ds.index[i]["cls"] == 0]
+    print(f"two-stage eval: {len(cls1)} obj_01 detections of {n_det} total")
+    B = 16
+    for beg in range(0, len(cls1), B):
+        idxs = cls1[beg:beg + B]
+        items = [det_pose_ds[i] for i in idxs]
+        inp = jnp.asarray(np.stack([it["inp"] for it in items]))
+        out = pose_forward(variables, inp)
+        dec = decode_keypoints(out["seg"], out["vertex"],
+                               jax.random.PRNGKey(beg), pose_cfg)
+        kpt_crop = np.asarray(dec["kpt_2d"])
+        for j, it in enumerate(items):
+            meta = it["meta"]
+            kpt_img = det_pose_ds.kpt_crop_to_image(kpt_crop[j], meta)
+            # match this detection to a GT obj_01 instance by box IoU
+            cands = [a for a in gt_by_img.get(it["img_id"], [])
+                     if a["category_id"] == 1]
+            if not cands:
+                continue
+            ious = [
+                box_iou(meta["box"],
+                        [a["bbox"][0], a["bbox"][1],
+                         a["bbox"][0] + a["bbox"][2],
+                         a["bbox"][1] + a["bbox"][3]])
+                for a in cands
+            ]
+            best = int(np.argmax(ious))
+            if ious[best] < 0.3:
+                continue
+            ann = cands[best]
+            K = np.asarray(ann["K"], np.float32)
+            pose_pred = np.asarray(
+                solve_pnp(jnp.asarray(kpt_3d, jnp.float32),
+                          jnp.asarray(kpt_img, jnp.float32),
+                          jnp.asarray(K))
+            )
+            pose_gt = np.asarray(ann["pose"], np.float32)
+            pts = jnp.asarray(mesh_ply["pts"], jnp.float32)
+            adds.append(
+                float(add_error(pts, jnp.asarray(pose_pred),
+                                jnp.asarray(pose_gt))) < 0.1 * diameter
+            )
+            projs.append(
+                float(projection_2d_error(pts, jnp.asarray(pose_pred),
+                                          jnp.asarray(pose_gt),
+                                          jnp.asarray(K))) < 5.0
+            )
+            matched += 1
+
+    n_gt1 = sum(1 for anns in gt_by_img.values()
+                for a in anns if a["category_id"] == 1)
+    record["two_stage"] = {
+        "class": "obj_01",
+        "n_gt_instances": n_gt1,
+        "n_matched_detections": matched,
+        "recall": matched / max(n_gt1, 1),
+        "add": float(np.mean(adds)) if adds else 0.0,
+        "proj2d": float(np.mean(projs)) if projs else 0.0,
+        "decode": "standard 1024px/128hyp, PnP iterative",
+    }
+    record["minutes"] = (time.time() - t_start) / 60
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=2)
+    print("two_stage:", record["two_stage"])
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
