@@ -70,7 +70,8 @@ class LinemodDataset:
         kpt_2d = np.concatenate(
             [np.asarray(ann["fps_2d"]), [np.asarray(ann["center_2d"])]], 0
         ).astype(np.float32)
-        mask = read_mask(ann["mask_path"], ann.get("type", "real"))
+        mask = read_mask(ann["mask_path"], ann.get("type", "real"),
+                         cls_idx=ann.get("cls_idx", 1))
         if self.cache_images:
             self._cache[img_id] = (img, kpt_2d, mask, ann)
             return img, kpt_2d.copy(), mask.copy(), ann

@@ -273,6 +273,22 @@ def run_tless(cfg, args):
     print({k: v for k, v in meta.items() if isinstance(v, (str, int, float))})
 
 
+def run_ycb(cfg, args):
+    """YCB-Video → COCO-style pose json (working equivalent of the
+    reference's dangling `run.py --type ycb` → handle_ycb.collect_ycb,
+    ref run.py:193-195 — that module does not exist upstream)."""
+    from clean_pvnet_tpu.data.ycb import collect_ycb
+
+    root = os.path.join(cfg.data_root, "ycb")
+    for split in ("train", "val"):
+        listing = os.path.join(root, "image_sets", f"{split}.txt")
+        if not os.path.exists(listing):
+            print(f"skip {split}: no {listing}")
+            continue
+        out = collect_ycb(root, cfg.cls_type, split=split)
+        print("wrote", out)
+
+
 def run_tless_real(cfg, args):
     """Convert REAL T-LESS data (BOP-classic primesense layout) to pose
     COCO jsons: per-object train sets with symmetry-rectified poses and
@@ -382,6 +398,7 @@ COMMANDS = {
     "linemod": run_linemod,
     "tless": run_tless,
     "tless_real": run_tless_real,
+    "ycb": run_ycb,
     "render": run_render,
     "visualize_train": run_visualize_train,
     "detector_pvnet": run_detector_pvnet,

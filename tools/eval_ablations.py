@@ -107,6 +107,23 @@ def main():
         ("trunc_projective",
          {"voting.projective": True, "voting.num_hypotheses": 256,
           "voting.max_pixels": 1024}, False, "truncation"),
+        # foreground-sampling 4-way (VERDICT r2 item 6): exact/approx top-k
+        # × uniform/confidence-weighted, at the tight 128-px budget where
+        # the sampling distribution matters most. exact+uniform is the
+        # reference behavior (ref ransac_voting_gpu.py:128-143) ==
+        # standard_128px above.
+        ("fg_approx_uniform", {"voting.approx_fg": True}, False, "test"),
+        ("fg_exact_weighted", {"voting.weighted_fg": True}, False, "test"),
+        ("fg_approx_weighted",
+         {"voting.approx_fg": True, "voting.weighted_fg": True}, False,
+         "test"),
+        ("occ_fg_approx_uniform", {"voting.approx_fg": True}, False,
+         "occlusion"),
+        ("occ_fg_exact_weighted", {"voting.weighted_fg": True}, False,
+         "occlusion"),
+        ("occ_fg_approx_weighted",
+         {"voting.approx_fg": True, "voting.weighted_fg": True}, False,
+         "occlusion"),
     ]
     if args.only:
         keep = set(args.only.split(","))
@@ -139,7 +156,13 @@ def main():
                 f"no checkpoint under {args.root}/ckpt — train first")
         print(f"restored epoch {epoch}")
 
-    results = {"epoch": int(epoch), "root": args.root, "ablations": {}}
+    results = {
+        "epoch": int(epoch),
+        "root": args.root,
+        "params": args.params,
+        "command": " ".join(sys.argv),
+        "ablations": {},
+    }
     for name, overrides, un_pnp, split in ablations:
         cfg = base_cfg.with_overrides(overrides) if overrides else base_cfg
         ds = LinemodDataset(cfg, splits[split], split="test")
@@ -152,6 +175,7 @@ def main():
         t0 = time.time()
         m = run_split(cfg, model, state, pipeline, evaluator, loader)
         m["eval_seconds"] = round(time.time() - t0, 1)
+        m["decode"] = {"un_pnp": un_pnp, "split": split, **overrides}
         results["ablations"][name] = m
         print(f"[{name}] {m}", flush=True)
         with open(args.out, "w") as f:
