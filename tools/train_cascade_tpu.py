@@ -152,19 +152,52 @@ def main():
                                      num_classes=3)
     test_ds = DetectionSceneDataset(det_cfg, jsons["test"], split="test",
                                     num_classes=3)
-    loader = DataLoader(train_ds, args.batch, buckets=(HW,), num_workers=3)
-    det_trainer = Trainer(det_cfg, detector, steps_per_epoch=len(loader),
+    n_scenes = len(train_ds)
+    steps_per_epoch = n_scenes // args.batch
+    det_trainer = Trainer(det_cfg, detector, steps_per_epoch=steps_per_epoch,
                           mesh=mesh)
     det_state = det_trainer.init_state(jax.random.PRNGKey(0),
                                        (1, HW[0], HW[1], 3))
+
+    # Scene targets are deterministic — stage the whole set in HBM once and
+    # gather batches on-device (the tunnel client leaks every host→device
+    # transfer; see tools/train_synth_tpu.py staging note).
+    print(f"staging {n_scenes} detector scenes in HBM...", flush=True)
+    first = train_ds[(0, *HW)]
+    staged_np = {
+        k: np.empty((n_scenes, *np.asarray(first[k]).shape),
+                    np.asarray(first[k]).dtype)
+        for k in ("inp", "ct_hm", "wh", "ct_ind", "ct_valid")
+    }
+    for i in range(n_scenes):
+        item = first if i == 0 else train_ds[(i, *HW)]
+        for k in staged_np:
+            staged_np[k][i] = item[k]
+    staged = {k: jnp.asarray(v) for k, v in staged_np.items()}
+    del staged_np
+    jax.block_until_ready(staged["inp"])
+
+    @jax.jit
+    def gather_det(inp, ct_hm, wh, ct_ind, ct_valid, idx):
+        return {
+            "inp": jnp.take(inp, idx, 0),
+            "ct_hm": jnp.take(ct_hm, idx, 0),
+            "wh": jnp.take(wh, idx, 0),
+            "ct_ind": jnp.take(ct_ind, idx, 0),
+            "ct_valid": jnp.take(ct_valid, idx, 0),
+        }
+
+    shuffle_rng = np.random.RandomState(99)
     det_curve = []
     for epoch in range(args.det_epochs):
         te = time.time()
-        for batch in loader:
-            b = {k: batch[k] for k in ("inp", "ct_hm", "wh", "ct_ind",
-                                       "ct_valid")}
+        perm = shuffle_rng.permutation(n_scenes)
+        for s in range(steps_per_epoch):
+            idx = jnp.asarray(perm[s * args.batch:(s + 1) * args.batch])
             det_state, stats = det_trainer._train_step(
-                det_state, shard_batch(b, mesh))
+                det_state,
+                gather_det(staged["inp"], staged["ct_hm"], staged["wh"],
+                           staged["ct_ind"], staged["ct_valid"], idx))
         entry = {"epoch": epoch, "loss": float(stats["loss"]),
                  "hm": float(stats["hm_loss"]), "wh": float(stats["wh_loss"]),
                  "seconds": round(time.time() - te, 1)}
