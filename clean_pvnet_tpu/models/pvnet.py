@@ -217,6 +217,7 @@ def decode_keypoints(
             hyp_chunk=128,
             confidence=v.confidence,
             cov_hypotheses=v.cov_hypotheses,
+            cov_pixels=v.cov_pixels,
             approx_fg=v.approx_fg,
             fg_weights=fw[0] if fw else None,
         )

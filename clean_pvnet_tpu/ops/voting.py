@@ -379,12 +379,28 @@ def ransac_vote(
 
 
 def _cov_around_mean(direct, coords, valid, tv, enough, mean, key,
-                     num_hypotheses, inlier_thresh, max_pixels, hyp_chunk):
+                     num_hypotheses, inlier_thresh, max_pixels, hyp_chunk,
+                     cov_pixels=0):
     """Weighted voting covariance around `mean` over an already-selected
     pixel set (the tail of ref ransac_voting_gpu.py:202-274): generate a
     fresh hypothesis population, weight by inlier ratio, keep ratios within
-    0.1 of the per-keypoint max, return [vn, 2, 2]."""
+    0.1 of the per-keypoint max, return [vn, 2, 2].
+
+    `cov_pixels > 0` counts inliers over only the first `cov_pixels` of the
+    selected set. The counts here are used *only* as hypothesis weights
+    (ratios), so a subsampled count is an unbiased ratio estimate with
+    relative noise ~sqrt((1-r)/(r·cov_pixels)) — ~2% at r=0.5, n=2048 —
+    far below the 0.1 ratio-window the weighting applies. Because uniform
+    selection front-packs pixels in iid-priority order, the prefix IS a
+    uniform subsample; with weighted_fg it is the most-confident prefix
+    (documented bias, same as the rolled-pair interaction). This is the
+    dominant un_pnp decode stage (hn·T drops 4× at cov_pixels=2048)."""
     vn = direct.shape[1]
+    if cov_pixels and cov_pixels < coords.shape[0]:
+        direct = direct[:cov_pixels]
+        coords = coords[:cov_pixels]
+        valid = valid[:cov_pixels]
+        tv = jnp.sum(valid)
     hyp = generate_hypotheses_rolled(
         direct, coords, tv, key, num_hypotheses
     )  # [hn, vn, 2]
@@ -411,6 +427,7 @@ def _cov_around_mean(direct, coords, valid, tv, enough, mean, key,
         "hyp_chunk",
         "cov_hypotheses",
         "approx_fg",
+        "cov_pixels",
     ),
 )
 def ransac_vote_with_cov(
@@ -427,6 +444,7 @@ def ransac_vote_with_cov(
     cov_hypotheses: int = 4096,
     approx_fg: bool = False,
     fg_weights: jax.Array | None = None,
+    cov_pixels: int = 0,
 ) -> tuple[VoteResult, jax.Array]:
     """Fused uncertainty decode: RANSAC vote + covariance in ONE program.
 
@@ -487,6 +505,7 @@ def ransac_vote_with_cov(
     cov = _cov_around_mean(
         direct, coords, valid, tv, enough, refined, k_cov,
         cov_hypotheses, inlier_thresh, max_pixels, hyp_chunk,
+        cov_pixels=cov_pixels,
     )
     res = VoteResult(kpt_2d=refined, inlier_ratio=ratio, valid=enough,
                      mean=refined)

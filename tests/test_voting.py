@@ -297,6 +297,36 @@ class TestFusedVoteWithCov:
         tr_noisy = np.trace(np.asarray(cov_noisy), axis1=-2, axis2=-1)
         assert (tr_noisy > tr_clean).all(), (tr_clean, tr_noisy)
 
+    def test_cov_pixel_subsample_matches_full(self, rng):
+        # cov_pixels counts inliers over a uniform prefix subsample; the
+        # ratio weights are unbiased, so the covariance should agree with
+        # the full-pixel count within sampling noise (serving default 2048
+        # of 8192 — here 128 of 512 on a noisy field).
+        from clean_pvnet_tpu.ops.voting import ransac_vote_with_cov
+
+        mask, vertex, kpt = make_scene(rng, vn=2, blob=30)
+        noisy = vertex + rng.randn(*vertex.shape).astype(np.float32) * 0.08
+        noisy /= np.linalg.norm(noisy, axis=-1, keepdims=True) + 1e-9
+        noisy *= mask[..., None, None]
+        res_full, cov_full = ransac_vote_with_cov(
+            jnp.asarray(mask), jnp.asarray(noisy), jax.random.PRNGKey(2),
+            num_hypotheses=128, max_pixels=512, cov_hypotheses=512,
+        )
+        res_sub, cov_sub = ransac_vote_with_cov(
+            jnp.asarray(mask), jnp.asarray(noisy), jax.random.PRNGKey(2),
+            num_hypotheses=128, max_pixels=512, cov_hypotheses=512,
+            cov_pixels=128,
+        )
+        # same vote stage (subsample touches only the cov weighting)
+        np.testing.assert_allclose(
+            np.asarray(res_sub.kpt_2d), np.asarray(res_full.kpt_2d))
+        tr_full = np.trace(np.asarray(cov_full), axis1=-2, axis2=-1)
+        tr_sub = np.trace(np.asarray(cov_sub), axis1=-2, axis2=-1)
+        assert np.isfinite(tr_sub).all()
+        # covariance magnitude agrees within a small factor
+        ratio = tr_sub / np.maximum(tr_full, 1e-9)
+        assert (ratio > 0.3).all() and (ratio < 3.0).all(), ratio
+
 
 class TestVotingDistribution:
     def test_covariance_reflects_noise(self, rng):

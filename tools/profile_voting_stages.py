@@ -124,6 +124,11 @@ def main():
     out["full_cov_decode_ms"] = round(
         timeit(full, mask, vertex, keys, iters=max(2, args.iters // 2)), 2)
 
+    full_sub = jax.jit(jax.vmap(partial(ransac_vote_with_cov,
+                                        cov_pixels=2048)))
+    out["full_cov_decode_covpix2048_ms"] = round(
+        timeit(full_sub, mask, vertex, keys, iters=max(2, args.iters // 2)), 2)
+
     print(json.dumps(out))
 
 
