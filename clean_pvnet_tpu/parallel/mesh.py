@@ -33,6 +33,13 @@ def make_mesh(cfg: MeshConfig | None = None, num_devices: int | None = None) -> 
     cfg = cfg or MeshConfig()
     devices = jax.devices()
     n = num_devices or (len(devices) if cfg.num_devices < 0 else cfg.num_devices)
+    if n > len(devices):
+        raise ValueError(
+            f"make_mesh: {n} devices requested but only {len(devices)} "
+            f"visible on backend {jax.default_backend()!r} — a silent "
+            "truncation here would build a smaller mesh than the caller's "
+            "sharding assumes (e.g. an 8-way dryrun collapsing to 1 device)"
+        )
     devices = devices[:n]
     if cfg.hyp_shards > 1:
         assert n % cfg.hyp_shards == 0, (n, cfg.hyp_shards)
