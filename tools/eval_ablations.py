@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--only", default=None,
                     help="comma-separated subset of ablation names")
+    ap.add_argument("--limit", type=int, default=0,
+                    help="evaluate only the first N images per split "
+                         "(smoke runs)")
     ap.add_argument("--params", default=None,
                     help="float16 params npz (tools/export_params_f16.py) "
                          "to evaluate instead of the orbax checkpoint")
@@ -124,6 +127,13 @@ def main():
         ("occ_fg_approx_weighted",
          {"voting.approx_fg": True, "voting.weighted_fg": True}, False,
          "occlusion"),
+        # depth-based ICP refinement on top of the un_pnp decode — the
+        # reference's OCC-LINEMOD recipe (eval-time ICP, ref
+        # lib/evaluators/linemod/pvnet.py icp_refine). Reported as the
+        # extra icp_add/icp_* fields next to the decode-only metrics.
+        ("un_pnp_icp", {"test.icp": True}, True, "test"),
+        ("occ_unpnp_icp",
+         {"test.icp": True, "voting.num_rounds": 20}, True, "occlusion"),
     ]
     if args.only:
         keep = set(args.only.split(","))
@@ -166,12 +176,21 @@ def main():
     for name, overrides, un_pnp, split in ablations:
         cfg = base_cfg.with_overrides(overrides) if overrides else base_cfg
         ds = LinemodDataset(cfg, splits[split], split="test")
+        if args.limit:
+            ds.img_ids = ds.img_ids[:args.limit]
         loader = DataLoader(ds, args.batch, shuffle=False,
                             buckets=((480, 640),), num_workers=2,
                             drop_last=False)
         pipeline = InferencePipeline(cfg, model, kpt_3d, un_pnp=un_pnp)
+        icp_refiner = None
+        if cfg.test.icp:
+            from clean_pvnet_tpu.eval.icp import make_linemod_refiner
+
+            icp_refiner = make_linemod_refiner(
+                mesh_ply["pts"], mesh_ply["faces"], cfg.test.icp_render_hw
+            )
         evaluator = LinemodEvaluator(cfg, mesh_ply["pts"], meta["diameter"],
-                                     cls_type="synth")
+                                     cls_type="synth", icp_refiner=icp_refiner)
         t0 = time.time()
         m = run_split(cfg, model, state, pipeline, evaluator, loader)
         m["eval_seconds"] = round(time.time() - t0, 1)
