@@ -9,6 +9,7 @@ No replicate/scatter/gather, no host loop over devices.
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Any, Callable, Iterable, Mapping
 
 import jax
@@ -135,6 +136,38 @@ class Trainer:
                         "train", int(state.step), stats
                     )
         return state
+
+    def make_scan_step(self, gather_fn: Callable):
+        """Fuse many train steps into ONE jitted dispatch via `lax.scan`.
+
+        For device-resident datasets on dispatch-latency-bound hosts (e.g.
+        an RPC-tunneled chip, where each dispatch costs a network round
+        trip), the per-step host input is just an index vector — so an
+        entire chunk of steps can run as one program: the scan carries the
+        train state and maps over a [steps, ...] index array, gathering
+        each step's batch on-device with `gather_fn(data, idx)`.
+
+        Numerically identical to the sequential loop: the step RNG folds
+        in `state.step`, which advances inside the scan exactly as it does
+        between dispatches (tests/test_train.py::test_scan_step_matches_
+        sequential).
+
+        Returns `chunk(state, data, idx_chunk) -> (state, last_stats)`;
+        `data` is any pytree of device arrays passed through to gather_fn
+        as jit arguments (so multi-GB staged datasets are not serialized
+        into the program as constants).
+        """
+        raw_step, _ = TRAINERS.build(self.cfg.task, self.cfg)
+
+        @partial(jax.jit, donate_argnums=0)
+        def chunk(state, data, idx_chunk):
+            def body(st, idx):
+                return raw_step(st, gather_fn(data, idx))
+
+            state, stats_seq = jax.lax.scan(body, state, idx_chunk)
+            return state, jax.tree_util.tree_map(lambda x: x[-1], stats_seq)
+
+        return chunk
 
     def predict(self, state: TrainState, inp):
         inp = jax.device_put(

@@ -224,3 +224,62 @@ class TestDeviceAugmentStep:
         # a second step re-draws the augmentation (keyed on state.step)
         state, stats2 = trainer._train_step(state, batch)
         assert np.isfinite(float(stats2["loss"]))
+
+    def test_scan_step_matches_sequential(self, rng):
+        """Trainer.make_scan_step (multi-step fused dispatch for device-
+        resident datasets) is semantically identical to the per-step loop:
+        the augmentation RNG folds in state.step, which advances inside
+        the lax.scan exactly as between dispatches (the augmented batches
+        are bit-identical). SGD here rather than Adam: the two compiled
+        programs reassociate conv reductions differently (ULP-level), and
+        Adam's sign-normalized update amplifies that noise on near-zero
+        gradients to O(lr); SGD keeps the trajectories tight so the
+        equivalence is actually assertable."""
+        import jax
+        import jax.numpy as jnp
+        from clean_pvnet_tpu.config import Config
+        from clean_pvnet_tpu.models import make_network
+        from clean_pvnet_tpu.parallel import make_mesh
+        from clean_pvnet_tpu.train import Trainer
+
+        cfg = Config().with_overrides(
+            {"network.use_bfloat16": False, "train.device_augment": True,
+             "train.optimizer": "sgd"}
+        )
+        model = make_network(cfg)
+        mesh = make_mesh(num_devices=1)
+        trainer = Trainer(cfg, model, steps_per_epoch=4, mesh=mesh)
+
+        n, b = 6, 2
+        masks = np.zeros((n, 32, 32), np.uint8)
+        masks[:, 8:24, 10:26] = 1
+        frames = jnp.asarray((rng.rand(n, 32, 32, 3) * 255).astype(np.uint8))
+        masks = jnp.asarray(masks)
+        kpts = jnp.asarray((rng.rand(n, 9, 2) * 12 + 10).astype(np.float32))
+        idx = np.asarray([[0, 3], [1, 4], [2, 5], [5, 0]], np.int32)
+
+        def gather(data, i):
+            return {
+                "inp_u8": jnp.take(data[0], i, axis=0),
+                "mask": jnp.take(data[1], i, axis=0).astype(jnp.int32),
+                "kpt_2d": jnp.take(data[2], i, axis=0),
+            }
+
+        state_a = trainer.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        for s in range(idx.shape[0]):
+            state_a, stats_a = trainer._train_step(
+                state_a, gather((frames, masks, kpts), jnp.asarray(idx[s])))
+
+        state_b = trainer.init_state(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        chunk = trainer.make_scan_step(gather)
+        state_b, stats_b = chunk(state_b, (frames, masks, kpts),
+                                 jnp.asarray(idx))
+
+        assert int(state_b.step) == int(state_a.step)
+        np.testing.assert_allclose(
+            float(stats_b["loss"]), float(stats_a["loss"]), rtol=1e-5)
+        la = jax.tree_util.tree_leaves(state_a.params)
+        lb = jax.tree_util.tree_leaves(state_b.params)
+        for xa, xb in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                       rtol=1e-5, atol=1e-6)

@@ -53,6 +53,12 @@ def main():
                     help="per-epoch loss + periodic eval learning curve")
     ap.add_argument("--eval_every", type=int, default=10)
     ap.add_argument("--save_every", type=int, default=10)
+    ap.add_argument("--scan_steps", type=int, default=0,
+                    help="dispatch N train steps as ONE jitted lax.scan "
+                         "program over the HBM-staged dataset (amortizes "
+                         "the per-step RPC-tunnel dispatch latency; "
+                         "numerically identical — the step RNG folds in "
+                         "state.step). 0 = one dispatch per step")
     ap.add_argument("--milestones", type=int, nargs="+", default=None,
                     help="explicit lr-halving epochs (default: 0.5/0.75/0.9 "
                          "of --epochs); wall-clock-limited runs converge "
@@ -161,6 +167,20 @@ def main():
             "kpt_2d": jnp.take(kpts, idx, axis=0),
         }
 
+    # ---- multi-step scan dispatch --------------------------------------
+    # One per-step dispatch costs a full RPC round trip on the tunneled
+    # chip (~0.22 s/step observed vs ~0.05 s of compute). With the dataset
+    # HBM-resident, an epoch slice of [scan_steps, batch] indices is the
+    # ONLY host input — so fuse scan_steps train steps into one jitted
+    # lax.scan program (Trainer.make_scan_step; numerically identical).
+    train_chunk = trainer.make_scan_step(
+        lambda data, idx: {
+            "inp_u8": jnp.take(data[0], idx, axis=0),
+            "mask": jnp.take(data[1], idx, axis=0).astype(jnp.int32),
+            "kpt_2d": jnp.take(data[2], idx, axis=0),
+        }
+    )
+
     kpt_3d = np.concatenate([synth["fps_3d"], [synth["center_3d"]]], 0)
     pipeline = InferencePipeline(cfg, model, kpt_3d, un_pnp=False)
     mesh_ply = load_ply(synth["model_path"])
@@ -216,10 +236,23 @@ def main():
     for epoch in range(begin_epoch + 1, args.epochs):
         te = time.time()
         perm = shuffle_rng.permutation(n_imgs)
-        for s in range(steps_per_epoch):
-            idx = jnp.asarray(perm[s * args.batch:(s + 1) * args.batch])
-            state, stats = trainer._train_step(
-                state, gather_batch(dev_frames, dev_masks, dev_kpts, idx))
+        if args.scan_steps > 0:
+            idx_epoch = perm[: steps_per_epoch * args.batch].reshape(
+                steps_per_epoch, args.batch)
+            full = steps_per_epoch - steps_per_epoch % args.scan_steps
+            for c0 in range(0, full, args.scan_steps):
+                chunk = jnp.asarray(idx_epoch[c0:c0 + args.scan_steps])
+                state, stats = train_chunk(
+                    state, (dev_frames, dev_masks, dev_kpts), chunk)
+            for s in range(full, steps_per_epoch):  # remainder, per-step
+                state, stats = trainer._train_step(
+                    state, gather_batch(dev_frames, dev_masks, dev_kpts,
+                                        jnp.asarray(idx_epoch[s])))
+        else:
+            for s in range(steps_per_epoch):
+                idx = jnp.asarray(perm[s * args.batch:(s + 1) * args.batch])
+                state, stats = trainer._train_step(
+                    state, gather_batch(dev_frames, dev_masks, dev_kpts, idx))
         entry = {
             "epoch": epoch,
             "loss": float(stats["loss"]),
