@@ -22,8 +22,8 @@ timeout 1200 python -u bench.py --batch 128 --un_pnp --chunk 32 --iters 8 \
 
 # 3. Cascade: converged detector + two-stage eval (VERDICT item 4;
 #    scenes pre-generated in data/cascade_r3).
-timeout 3000 python -u tools/train_cascade_tpu.py --det_epochs 16 \
-    --pose_epochs 10 2>&1 | tail -15
+timeout 2400 python -u tools/train_cascade_tpu.py --det_epochs 12 \
+    --pose_epochs 8 2>&1 | tail -15
 
 # 4. Cascade TPU bench (VERDICT item 4).
 timeout 900 python -u bench.py --cascade --iters 8 2>/dev/null \
