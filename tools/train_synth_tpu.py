@@ -244,6 +244,11 @@ def main():
                 chunk = jnp.asarray(idx_epoch[c0:c0 + args.scan_steps])
                 state, stats = train_chunk(
                     state, (dev_frames, dev_masks, dev_kpts), chunk)
+                # touch the log every chunk so the stall watchdog sees
+                # progress (one line per epoch is longer than its window
+                # when a chunk recompiles)
+                print(f"  chunk {c0 + args.scan_steps}/{steps_per_epoch}",
+                      flush=True)
             for s in range(full, steps_per_epoch):  # remainder, per-step
                 state, stats = trainer._train_step(
                     state, gather_batch(dev_frames, dev_masks, dev_kpts,

@@ -8,7 +8,7 @@
 #   bash tools/train_watchdog.sh <logfile> <python args...>
 set -u
 LOG="$1"; shift
-STALL_SEC=420
+STALL_SEC="${STALL_SEC:-420}"
 while true; do
   python -u "$@" >> "$LOG" 2>&1 &
   PID=$!
