@@ -94,11 +94,15 @@ class VotingConfig:
     un_hypotheses: int = 512
     un_max_pixels: int = 8192     # ref max_num=30000 (dynamic); static budget here
     cov_hypotheses: int = 4096    # ref min_hyp_num
-    cov_pixels: int = 2048        # pixel subsample for cov inlier counts
-    #                               (0 = all of un_max_pixels; counts are
-    #                               only hypothesis weights, so a uniform
-    #                               prefix subsample is an unbiased ratio
-    #                               estimate — see ops/voting.py)
+    cov_pixels: int = 0           # pixel subsample for cov inlier counts
+    #                               (0 = all of un_max_pixels — the
+    #                               reference-equivalent covariance,
+    #                               ref ransac_voting_gpu.py:202-274; the
+    #                               serving/bench config opts into 2048:
+    #                               counts are only hypothesis weights, so
+    #                               a uniform prefix subsample is an
+    #                               unbiased ratio estimate with ~2% noise
+    #                               — see ops/voting.py. ADVICE r3 item 2)
     cov_inlier_thresh: float = 0.99
     # projective (vanishing-point) decode for truncated objects — the
     # 3-component hypothesis kernels the reference ships but never wires

@@ -456,6 +456,12 @@ def ransac_vote_with_cov(
     cov [vn, 2, 2]).
     """
     vn = vertex.shape[2]
+    if fg_weights is not None:
+        # Under weighted_fg the selection is front-packed in confidence
+        # order, so a cov_pixels prefix would be the most-confident pixels
+        # — a biased (agreement-heavy) covariance sample. Count over the
+        # full selection instead (ADVICE r3 item 1).
+        cov_pixels = 0
     k_sel, k_hyp, k_cov = jax.random.split(key, 3)
     coords, flat_idx, valid = select_foreground(
         mask, k_sel, max_pixels, approx_fg, weights=fg_weights

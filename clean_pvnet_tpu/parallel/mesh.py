@@ -38,7 +38,9 @@ def make_mesh(cfg: MeshConfig | None = None, num_devices: int | None = None) -> 
             f"make_mesh: {n} devices requested but only {len(devices)} "
             f"visible on backend {jax.default_backend()!r} — a silent "
             "truncation here would build a smaller mesh than the caller's "
-            "sharding assumes (e.g. an 8-way dryrun collapsing to 1 device)"
+            "sharding assumes (e.g. an 8-way dryrun collapsing to 1 device). "
+            "For CPU dryruns set XLA_FLAGS=--xla_force_host_platform_device_"
+            f"count={n} (with JAX_PLATFORMS=cpu) to expose {n} virtual devices."
         )
     devices = devices[:n]
     if cfg.hyp_shards > 1:

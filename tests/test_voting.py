@@ -317,9 +317,13 @@ class TestFusedVoteWithCov:
             num_hypotheses=128, max_pixels=512, cov_hypotheses=512,
             cov_pixels=128,
         )
-        # same vote stage (subsample touches only the cov weighting)
+        # same vote stage (subsample touches only the cov weighting) — but
+        # the two results come from two separately compiled programs
+        # (cov_pixels is static), so allow fusion-level reassociation
+        # differences rather than asserting bit-exactness (ADVICE r3 item 3)
         np.testing.assert_allclose(
-            np.asarray(res_sub.kpt_2d), np.asarray(res_full.kpt_2d))
+            np.asarray(res_sub.kpt_2d), np.asarray(res_full.kpt_2d),
+            rtol=1e-6, atol=1e-6)
         tr_full = np.trace(np.asarray(cov_full), axis1=-2, axis2=-1)
         tr_sub = np.trace(np.asarray(cov_sub), axis1=-2, axis2=-1)
         assert np.isfinite(tr_sub).all()

@@ -186,9 +186,16 @@ def main():
         if cfg.test.icp:
             from clean_pvnet_tpu.eval.icp import make_linemod_refiner
 
-            icp_refiner = make_linemod_refiner(
-                mesh_ply["pts"], mesh_ply["faces"], cfg.test.icp_render_hw
-            )
+            try:
+                icp_refiner = make_linemod_refiner(
+                    mesh_ply["pts"], mesh_ply["faces"], cfg.test.icp_render_hw
+                )
+            except (ValueError, KeyError) as e:
+                # e.g. a faceless .ply: skip the ICP row instead of aborting
+                # the whole sweep and losing every later row (ADVICE r3)
+                print(f"[{name}] skipping ICP row: {e}", flush=True)
+                results["ablations"][name] = {"skipped": f"icp refiner: {e}"}
+                continue
         evaluator = LinemodEvaluator(cfg, mesh_ply["pts"], meta["diameter"],
                                      cls_type="synth", icp_refiner=icp_refiner)
         t0 = time.time()

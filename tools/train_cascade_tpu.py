@@ -1,14 +1,24 @@
 """Cascade accuracy record: train the CenterNet detector on multi-object
-scenes, train a per-class crop PVNet, then run the full two-stage
-detector→crop→PVNet→PnP evaluation — the reference's T-LESS pathway
+scenes, train per-class crop PVNets to convergence, then run the full
+two-stage detector→crop→PVNet→PnP evaluation with the multi-instance
+metric set — the reference's T-LESS pathway
 (ref lib/networks/ct_pvnet/res.py:74-84 cascade forward,
 lib/evaluators/tless_test/ct.py:32-79 detector eval,
-lib/datasets/tless_test/pvnet.py:33-93 detection-driven pose test).
+lib/datasets/tless_test/pvnet.py:33-93 detection-driven pose test,
+lib/evaluators/tless_test/pvnet.py:66-125 ADI/5cm-5°/VSD per GT image).
 
-Produces data/record/cascade_r3.json with the detection-mAP curve, the
-two-stage ADD/proj2d for obj_01, and stage provenance (VERDICT r2 item 4).
+Round-4 revision (VERDICT r3 items 1 and 6): the r3 crop-PVNet got 256
+steps and produced two-stage ADD 0.0 — pure budget. This version removes
+the host bottleneck (crop composition ran at ~12 samples/s on the 2-core
+host, 1.3 s/step): each class's training pool is composed ONCE on the
+host (overlapped with the previous stage's TPU training), staged in HBM,
+and trained with `make_scan_step` fused dispatches at device speed. All
+`num_classes` crop models are trained, the GT-box crop ceiling is
+recorded per class, and stage 3 reports matched ADD/proj2d per class
+plus ADI / 5cm-5° / VSD through TlessPoseEvalDriver (the scenes ship
+depth maps).
 
-  python tools/train_cascade_tpu.py [--det_epochs 24] [--pose_epochs 16]
+  python tools/train_cascade_tpu.py [--det_epochs 48] [--pose_steps 10000]
 """
 
 from __future__ import annotations
@@ -17,6 +27,7 @@ import argparse
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -27,6 +38,7 @@ import numpy as np
 
 from clean_pvnet_tpu.config import Config
 from clean_pvnet_tpu.data import DataLoader
+from clean_pvnet_tpu.data.coco import CocoIndex
 from clean_pvnet_tpu.data.detection import DetectionSceneDataset
 from clean_pvnet_tpu.data.synthetic import generate_multiobject_dataset
 from clean_pvnet_tpu.data.tless_pose import (
@@ -34,17 +46,22 @@ from clean_pvnet_tpu.data.tless_pose import (
     TlessPoseTrainDataset,
 )
 from clean_pvnet_tpu.eval.metrics import add_error, projection_2d_error
-from clean_pvnet_tpu.eval.tless import detection_map
+from clean_pvnet_tpu.eval.tless import (
+    TlessEvaluator,
+    TlessPoseEvalDriver,
+    detection_map,
+)
 from clean_pvnet_tpu.geometry.pnp import solve_pnp
 from clean_pvnet_tpu.models import make_network
 from clean_pvnet_tpu.models.pvnet import decode_keypoints
-from clean_pvnet_tpu.parallel import make_mesh, shard_batch
+from clean_pvnet_tpu.parallel import make_mesh
 from clean_pvnet_tpu.train import Trainer
 from clean_pvnet_tpu.utils.cache import enable_compilation_cache
 from clean_pvnet_tpu.utils.ply import load_ply
 
 HW = (256, 320)
 DOWN = 4
+CROP = 128
 
 
 def ensure_datasets(root, n_train=600, n_test=100):
@@ -114,25 +131,7 @@ def box_iou(a, b):
     return inter / max(ar_a + ar_b - inter, 1e-9)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--root", default="data/cascade_r3")
-    ap.add_argument("--det_epochs", type=int, default=24)
-    ap.add_argument("--pose_epochs", type=int, default=16)
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--out", default="data/record/cascade_r3.json")
-    ap.add_argument("--n_train_scenes", type=int, default=600)
-    ap.add_argument("--n_test_scenes", type=int, default=100)
-    args = ap.parse_args()
-    enable_compilation_cache()
-    t_start = time.time()
-
-    jsons = ensure_datasets(args.root, args.n_train_scenes,
-                            args.n_test_scenes)
-    mesh = make_mesh(num_devices=1)
-    record = {"config": vars(args), "hw": list(HW)}
-
-    # ---------------- stage 1: detector ---------------------------------
+def train_detector(args, jsons, mesh, record):
     det_cfg = Config().with_overrides(
         {
             "task": "ct",
@@ -160,44 +159,36 @@ def main():
                                        (1, HW[0], HW[1], 3))
 
     # Scene targets are deterministic — stage the whole set in HBM once and
-    # gather batches on-device (the tunnel client leaks every host→device
-    # transfer; see tools/train_synth_tpu.py staging note).
+    # run each epoch as ONE fused lax.scan dispatch (the tunnel client makes
+    # per-step dispatches expensive; see tools/train_synth_tpu.py).
     print(f"staging {n_scenes} detector scenes in HBM...", flush=True)
     first = train_ds[(0, *HW)]
+    keys = ("inp", "ct_hm", "wh", "ct_ind", "ct_valid")
     staged_np = {
         k: np.empty((n_scenes, *np.asarray(first[k]).shape),
                     np.asarray(first[k]).dtype)
-        for k in ("inp", "ct_hm", "wh", "ct_ind", "ct_valid")
+        for k in keys
     }
     for i in range(n_scenes):
         item = first if i == 0 else train_ds[(i, *HW)]
-        for k in staged_np:
+        for k in keys:
             staged_np[k][i] = item[k]
     staged = {k: jnp.asarray(v) for k, v in staged_np.items()}
     del staged_np
     jax.block_until_ready(staged["inp"])
 
-    @jax.jit
-    def gather_det(inp, ct_hm, wh, ct_ind, ct_valid, idx):
-        return {
-            "inp": jnp.take(inp, idx, 0),
-            "ct_hm": jnp.take(ct_hm, idx, 0),
-            "wh": jnp.take(wh, idx, 0),
-            "ct_ind": jnp.take(ct_ind, idx, 0),
-            "ct_valid": jnp.take(ct_valid, idx, 0),
-        }
+    def gather_det(data, idx):
+        return {k: jnp.take(v, idx, 0) for k, v in data.items()}
 
+    chunk = det_trainer.make_scan_step(gather_det)
     shuffle_rng = np.random.RandomState(99)
     det_curve = []
+    m = {}
     for epoch in range(args.det_epochs):
         te = time.time()
-        perm = shuffle_rng.permutation(n_scenes)
-        for s in range(steps_per_epoch):
-            idx = jnp.asarray(perm[s * args.batch:(s + 1) * args.batch])
-            det_state, stats = det_trainer._train_step(
-                det_state,
-                gather_det(staged["inp"], staged["ct_hm"], staged["wh"],
-                           staged["ct_ind"], staged["ct_valid"], idx))
+        perm = shuffle_rng.permutation(n_scenes)[: steps_per_epoch * args.batch]
+        idx_chunk = jnp.asarray(perm.reshape(steps_per_epoch, args.batch))
+        det_state, stats = chunk(det_state, staged, idx_chunk)
         entry = {"epoch": epoch, "loss": float(stats["loss"]),
                  "hm": float(stats["hm_loss"]), "wh": float(stats["wh_loss"]),
                  "seconds": round(time.time() - te, 1)}
@@ -211,113 +202,105 @@ def main():
                   f"({entry['seconds']}s)", flush=True)
         det_curve.append(entry)
     record["detector_curve"] = det_curve
-    record["detector_map"] = det_curve[-1]["map"]
+    record["detector_map"] = m
     det_file = os.path.join(args.root, "det_results.json")
     with open(det_file, "w") as f:
         json.dump(results, f)
     print(f"detector results → {det_file} ({len(results)} dets)")
+    del staged
+    return det_file
 
-    # ---------------- stage 2: per-class crop PVNet ----------------------
-    pose_cfg = Config().with_overrides(
+
+def pose_config(cls_name, args):
+    return Config().with_overrides(
         {
-            "cls_type": "obj_01",
-            "train.batch_size": 16,
-            "train.image_buckets": ((128, 128),),
-            "train.epoch_size": 512,
+            "cls_type": cls_name,
+            "train.batch_size": args.pose_batch,
+            "train.image_buckets": ((CROP, CROP),),
+            "train.epoch_size": args.pose_pool,
             "train.lr": 1e-3,
             "train.milestones": tuple(
-                int(args.pose_epochs * f) for f in (0.5, 0.75, 0.9)
+                int(args.pose_steps / 500 * f) for f in (0.5, 0.7, 0.85)
             ),
             "voting.max_pixels": 1024,
             "voting.num_hypotheses": 128,
         }
     )
-    pose_model = make_network(pose_cfg)
-    pose_ds = TlessPoseTrainDataset(pose_cfg, jsons["train"], crop_size=128,
-                                    host_vertex=False)
-    pose_loader = DataLoader(pose_ds, 16, buckets=((128, 128),),
-                             num_workers=3)
-    pose_trainer = Trainer(pose_cfg, pose_model,
-                           steps_per_epoch=len(pose_loader), mesh=mesh)
-    pose_state = pose_trainer.init_state(jax.random.PRNGKey(1),
-                                         (1, 128, 128, 3))
-    pose_curve = []
-    for epoch in range(args.pose_epochs):
-        te = time.time()
-        for batch in pose_loader:
-            b = {k: batch[k] for k in ("inp", "mask", "kpt_2d")}
-            pose_state, stats = pose_trainer._train_step(
-                pose_state, shard_batch(b, mesh))
-        entry = {"epoch": epoch, "loss": float(stats["loss"]),
-                 "vote": float(stats["vote_loss"]),
-                 "seconds": round(time.time() - te, 1)}
-        pose_curve.append(entry)
-        print(f"pose epoch {epoch}: loss {entry['loss']:.4f} "
-              f"({entry['seconds']}s)", flush=True)
-    record["pose_curve"] = pose_curve
 
-    # ---------------- stage 3: two-stage eval (obj_01) -------------------
-    # detections → crops → PVNet keypoints → image space → PnP → ADD
-    det_pose_ds = DetectionPoseDataset(pose_cfg, jsons["test"],
-                                       det_file=det_file, crop_size=128)
-    kpt_3d = np.concatenate([pose_ds.fps_3d, [pose_ds.center_3d]], 0)
-    cls_dir = os.path.join(args.root, "train", "obj_01")
-    mesh_ply = load_ply(os.path.join(cls_dir, "obj_01.ply"))
-    with open(os.path.join(jsons["test"])) as f:
-        test_data = json.load(f)
-    gt_by_img = {}
-    for a in test_data["annotations"]:
-        gt_by_img.setdefault(a["image_id"], []).append(a)
-    d2 = ((mesh_ply["pts"][:, None] - mesh_ply["pts"][None]) ** 2).sum(-1)
-    diameter = float(np.sqrt(d2.max()))
+
+def build_pose_pool(args, ann_file, cls_name, seed):
+    """Compose the class's training-crop pool on the host (cut-paste +
+    distractors + photometric aug, ref lib/datasets/tless_train/pvnet.py:
+    33-125) → numpy arrays ready for HBM staging."""
+    cfg = pose_config(cls_name, args)
+    ds = TlessPoseTrainDataset(cfg, ann_file, crop_size=CROP,
+                               host_vertex=False, seed=seed)
+    n = args.pose_pool
+    loader = DataLoader(ds, 64, shuffle=False, buckets=((CROP, CROP),),
+                        num_workers=3, drop_last=False)
+    inp = np.empty((n, CROP, CROP, 3), np.float32)
+    mask = np.empty((n, CROP, CROP), np.uint8)
+    kpt = np.empty((n, 9, 2), np.float32)
+    t0, i = time.time(), 0
+    for batch in loader:
+        b = np.asarray(batch["inp"]).shape[0]
+        take = min(b, n - i)
+        inp[i:i + take] = np.asarray(batch["inp"])[:take]
+        mask[i:i + take] = np.asarray(batch["mask"])[:take].astype(np.uint8)
+        kpt[i:i + take] = np.asarray(batch["kpt_2d"])[:take]
+        i += take
+        if i >= n:
+            break
+    print(f"[pool {cls_name}] {i} crops in {time.time() - t0:.0f}s",
+          flush=True)
+    return {"inp": inp, "mask": mask, "kpt_2d": kpt}
+
+
+def gt_crop_items(pose_cfg, test_json, cls_idx):
+    """GT-box crops of the test scenes for this class (det_gt path)."""
+    ds = DetectionPoseDataset(pose_cfg, test_json, det_file=None,
+                              crop_size=CROP)
+    idxs = [i for i in range(len(ds)) if ds.index[i]["cls"] == cls_idx]
+    return ds, [ds[i] for i in idxs]
+
+
+def eval_crops(pose_cfg, model, variables, ds, items, kpt_3d, mesh_pts,
+               diameter, tag):
+    """Decode + PnP on a fixed set of crops; returns kpt px err / ADD /
+    proj2d. For GT crops this is the single-stage crop ceiling."""
+    if not items:
+        return {}
 
     @jax.jit
-    def pose_forward(variables, inp):
-        return pose_model.apply(variables, inp, train=False)
+    def fwd(vrs, inp):
+        out = model.apply(vrs, inp, train=False)
+        return decode_keypoints(out["seg"], out["vertex"],
+                                jax.random.PRNGKey(0), pose_cfg)
 
-    variables = {"params": pose_state.params,
-                 "batch_stats": pose_state.batch_stats}
-    n_det = len(det_pose_ds)
-    adds, projs, matched = [], [], 0
-    cls1 = [i for i in range(n_det)
-            if det_pose_ds.index[i]["cls"] == 0]
-    print(f"two-stage eval: {len(cls1)} obj_01 detections of {n_det} total")
+    adds, projs, errs = [], [], []
     B = 16
-    for beg in range(0, len(cls1), B):
-        idxs = cls1[beg:beg + B]
-        items = [det_pose_ds[i] for i in idxs]
-        inp = jnp.asarray(np.stack([it["inp"] for it in items]))
-        out = pose_forward(variables, inp)
-        dec = decode_keypoints(out["seg"], out["vertex"],
-                               jax.random.PRNGKey(beg), pose_cfg)
-        kpt_crop = np.asarray(dec["kpt_2d"])
-        for j, it in enumerate(items):
-            meta = it["meta"]
-            kpt_img = det_pose_ds.kpt_crop_to_image(kpt_crop[j], meta)
-            # match this detection to a GT obj_01 instance by box IoU
-            cands = [a for a in gt_by_img.get(it["img_id"], [])
-                     if a["category_id"] == 1]
-            if not cands:
-                continue
-            ious = [
-                box_iou(meta["box"],
-                        [a["bbox"][0], a["bbox"][1],
-                         a["bbox"][0] + a["bbox"][2],
-                         a["bbox"][1] + a["bbox"][3]])
-                for a in cands
-            ]
-            best = int(np.argmax(ious))
-            if ious[best] < 0.3:
-                continue
-            ann = cands[best]
+    pts = jnp.asarray(mesh_pts, jnp.float32)
+    for beg in range(0, len(items), B):
+        sub = items[beg:beg + B]
+        inp = np.stack([it["inp"] for it in sub])
+        pad = B - len(sub)
+        if pad:
+            inp = np.concatenate([inp, np.repeat(inp[-1:], pad, 0)])
+        dec = fwd(variables, jnp.asarray(inp))
+        kpt_crop = np.asarray(dec["kpt_2d"])[: len(sub)]
+        for j, it in enumerate(sub):
+            ann = it["meta"]["ann"]
             K = np.asarray(ann["K"], np.float32)
+            kpt_img = ds_kpt_to_image(it, kpt_crop[j])
+            gt_kpt = np.asarray(
+                list(ann["fps_2d"]) + [ann["center_2d"]], np.float32
+            )
+            errs.append(float(np.linalg.norm(kpt_img - gt_kpt, axis=-1).mean()))
             pose_pred = np.asarray(
                 solve_pnp(jnp.asarray(kpt_3d, jnp.float32),
-                          jnp.asarray(kpt_img, jnp.float32),
-                          jnp.asarray(K))
+                          jnp.asarray(kpt_img, jnp.float32), jnp.asarray(K))
             )
             pose_gt = np.asarray(ann["pose"], np.float32)
-            pts = jnp.asarray(mesh_ply["pts"], jnp.float32)
             adds.append(
                 float(add_error(pts, jnp.asarray(pose_pred),
                                 jnp.asarray(pose_gt))) < 0.1 * diameter
@@ -327,24 +310,283 @@ def main():
                                           jnp.asarray(pose_gt),
                                           jnp.asarray(K))) < 5.0
             )
-            matched += 1
+    out = {"n": len(items), "kpt_px": float(np.mean(errs)),
+           "add": float(np.mean(adds)), "proj2d": float(np.mean(projs))}
+    print(f"[{tag}] {out}", flush=True)
+    return out
 
-    n_gt1 = sum(1 for anns in gt_by_img.values()
-                for a in anns if a["category_id"] == 1)
-    record["two_stage"] = {
-        "class": "obj_01",
-        "n_gt_instances": n_gt1,
-        "n_matched_detections": matched,
-        "recall": matched / max(n_gt1, 1),
-        "add": float(np.mean(adds)) if adds else 0.0,
-        "proj2d": float(np.mean(projs)) if projs else 0.0,
-        "decode": "standard 1024px/128hyp, PnP iterative",
+
+_EVAL_DS = {}
+
+
+def ds_kpt_to_image(item, kpt_crop):
+    meta = item["meta"]
+    step = meta["crop_size"] / CROP
+    cx, cy = meta["crop_center"]
+    corner = np.array([cx - meta["crop_size"] / 2.0,
+                       cy - meta["crop_size"] / 2.0])
+    return (kpt_crop + 0.5) * step + corner - 0.5
+
+
+def train_pose_class(args, mesh, cls_name, pool, record):
+    """Stage the pool in HBM, train the crop PVNet with fused scan steps."""
+    pose_cfg = pose_config(cls_name, args)
+    model = make_network(pose_cfg)
+    steps_per_epoch = 500
+    trainer = Trainer(pose_cfg, model, steps_per_epoch=steps_per_epoch,
+                      mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(1), (1, CROP, CROP, 3))
+
+    staged = {k: jnp.asarray(v) for k, v in pool.items()}
+    jax.block_until_ready(staged["inp"])
+
+    def gather(data, idx):
+        return {
+            "inp": jnp.take(data["inp"], idx, 0),
+            "mask": jnp.take(data["mask"], idx, 0).astype(jnp.int32),
+            "kpt_2d": jnp.take(data["kpt_2d"], idx, 0),
+        }
+
+    chunk = trainer.make_scan_step(gather)
+    rng = np.random.RandomState(11)
+    n = pool["inp"].shape[0]
+    curve = []
+    scan = args.scan
+    B = args.pose_batch
+    t0 = time.time()
+    done = 0
+    while done < args.pose_steps:
+        k = min(scan, args.pose_steps - done)
+        idx = rng.randint(0, n, size=(k, B))
+        state, stats = chunk(state, staged, jnp.asarray(idx))
+        done += k
+        entry = {"step": done, "loss": float(stats["loss"]),
+                 "vote": float(stats["vote_loss"]),
+                 "seconds": round(time.time() - t0, 1)}
+        curve.append(entry)
+        print(f"[pose {cls_name}] step {done}/{args.pose_steps} "
+              f"loss {entry['loss']:.4f} vote {entry['vote']:.4f} "
+              f"({entry['seconds']}s)", flush=True)
+    record[f"pose_curve_{cls_name}"] = curve
+    del staged
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return pose_cfg, model, variables
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="data/cascade_r3")
+    ap.add_argument("--det_epochs", type=int, default=48)
+    ap.add_argument("--pose_steps", type=int, default=10000)
+    ap.add_argument("--pose_pool", type=int, default=8192)
+    ap.add_argument("--pose_batch", type=int, default=16)
+    ap.add_argument("--scan", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--out", default="data/record/cascade_r4.json")
+    ap.add_argument("--n_train_scenes", type=int, default=600)
+    ap.add_argument("--n_test_scenes", type=int, default=100)
+    ap.add_argument("--num_classes", type=int, default=3)
+    ap.add_argument("--skip_det", action="store_true",
+                    help="reuse <root>/det_results.json from a prior run")
+    args = ap.parse_args()
+    enable_compilation_cache()
+    t_start = time.time()
+
+    jsons = ensure_datasets(args.root, args.n_train_scenes,
+                            args.n_test_scenes)
+    mesh = make_mesh(num_devices=1)
+    record = {"config": vars(args), "hw": list(HW)}
+
+    class_names = [f"obj_{c + 1:02d}" for c in range(args.num_classes)]
+
+    # Pool composition is host-bound (~12 crops/s on 2 cores) and TPU
+    # training is device-bound — overlap them: the next class's pool builds
+    # on a thread while the current stage trains.
+    pools: dict[str, dict] = {}
+    pool_lock = threading.Condition()
+
+    def pool_builder():
+        for ci, cname in enumerate(class_names):
+            p = build_pose_pool(args, jsons["train"], cname, seed=ci)
+            with pool_lock:
+                pools[cname] = p
+                pool_lock.notify_all()
+
+    builder = threading.Thread(target=pool_builder, daemon=True)
+    builder.start()
+
+    # ---------------- stage 1: detector ---------------------------------
+    det_file = os.path.join(args.root, "det_results.json")
+    if args.skip_det and os.path.exists(det_file):
+        print(f"skip_det: reusing {det_file}")
+        record["detector_map"] = "reused"
+    else:
+        det_file = train_detector(args, jsons, mesh, record)
+
+    # ---------------- stage 2: per-class crop PVNets ---------------------
+    test_json = jsons["test"]
+    train_root = os.path.join(args.root, "train")
+    class_assets, class_results = [], {}
+    models = {}
+    for ci, cname in enumerate(class_names):
+        with pool_lock:
+            while cname not in pools:
+                pool_lock.wait(5.0)
+            pool = pools.pop(cname)
+        pose_cfg, model, variables = train_pose_class(
+            args, mesh, cname, pool, record
+        )
+        del pool
+
+        mesh_ply = load_ply(os.path.join(train_root, cname, f"{cname}.ply"))
+        d2 = ((mesh_ply["pts"][:, None] - mesh_ply["pts"][None]) ** 2).sum(-1)
+        diameter = float(np.sqrt(d2.max()))
+        ds_tmp = TlessPoseTrainDataset(pose_cfg, jsons["train"],
+                                       crop_size=CROP, host_vertex=False)
+        kpt_3d = np.concatenate([ds_tmp.fps_3d, [ds_tmp.center_3d]], 0)
+        class_assets.append(
+            {"name": cname, "pts": mesh_ply["pts"], "faces": mesh_ply["faces"],
+             "diameter": diameter, "kpt_3d": kpt_3d}
+        )
+        models[cname] = (pose_cfg, model, variables)
+
+        # single-stage crop ceiling: GT boxes → crops → decode → PnP
+        gt_ds, gt_items = gt_crop_items(pose_cfg, test_json, ci)
+        class_results[cname] = {
+            "gt_crop_ceiling": eval_crops(
+                pose_cfg, model, variables, gt_ds, gt_items, kpt_3d,
+                mesh_ply["pts"], diameter, f"ceiling {cname}"
+            )
+        }
+
+    # ---------------- stage 3: two-stage eval ----------------------------
+    coco = CocoIndex(test_json)
+    eval_cfg = Config().with_overrides({"test.vsd": True})
+    evaluator = TlessEvaluator(
+        eval_cfg,
+        class_models=[{"pts": a["pts"], "diameter": a["diameter"]}
+                      for a in class_assets],
+        hw=HW,
+        vsd_meshes=[(a["pts"], a["faces"]) for a in class_assets],
+    )
+    driver = TlessPoseEvalDriver(eval_cfg, evaluator, coco, match="image")
+
+    gt_by_img = {}
+    for img_id in coco.get_img_ids():
+        gt_by_img[img_id] = coco.load_anns(img_id)
+
+    per_class_matched = {a["name"]: {"adds": [], "projs": [], "matched": 0}
+                         for a in class_assets}
+    for ci, asset in enumerate(class_assets):
+        cname = asset["name"]
+        pose_cfg, model, variables = models[cname]
+        det_ds = DetectionPoseDataset(pose_cfg, test_json, det_file=det_file,
+                                      crop_size=CROP)
+        idxs = [i for i in range(len(det_ds))
+                if det_ds.index[i]["cls"] == ci]
+        print(f"two-stage eval {cname}: {len(idxs)} detections")
+
+        @jax.jit
+        def fwd(vrs, inp):
+            out = model.apply(vrs, inp, train=False)
+            return decode_keypoints(out["seg"], out["vertex"],
+                                    jax.random.PRNGKey(0), pose_cfg)
+
+        B = 16
+        pts = jnp.asarray(asset["pts"], jnp.float32)
+        for beg in range(0, len(idxs), B):
+            sub = [det_ds[i] for i in idxs[beg:beg + B]]
+            inp = np.stack([it["inp"] for it in sub])
+            pad = B - len(sub)
+            if pad:
+                inp = np.concatenate([inp, np.repeat(inp[-1:], pad, 0)])
+            dec = fwd(variables, jnp.asarray(inp))
+            kpt_crop = np.asarray(dec["kpt_2d"])[: len(sub)]
+            poses, metas, img_ids = [], [], []
+            for j, it in enumerate(sub):
+                meta = it["meta"]
+                kpt_img = ds_kpt_to_image(it, kpt_crop[j])
+                # intrinsics: every instance in a scene shares the scene K
+                anns = gt_by_img.get(it["img_id"], [])
+                K = np.asarray(
+                    anns[0]["K"] if anns
+                    else [[572.4, 0, HW[1] / 2], [0, 573.6, HW[0] / 2],
+                          [0, 0, 1]],
+                    np.float32,
+                )
+                pose_pred = np.asarray(
+                    solve_pnp(jnp.asarray(asset["kpt_3d"], jnp.float32),
+                              jnp.asarray(kpt_img, jnp.float32),
+                              jnp.asarray(K))
+                )
+                poses.append(pose_pred)
+                metas.append(meta)
+                img_ids.append(it["img_id"])
+
+                # matched per-class ADD/proj2d (r3 protocol, kept for
+                # round-over-round comparability)
+                cands = [a for a in anns if a["category_id"] == ci + 1]
+                if not cands:
+                    continue
+                ious = [
+                    box_iou(meta["box"],
+                            [a["bbox"][0], a["bbox"][1],
+                             a["bbox"][0] + a["bbox"][2],
+                             a["bbox"][1] + a["bbox"][3]])
+                    for a in cands
+                ]
+                best = int(np.argmax(ious))
+                if ious[best] < 0.3:
+                    continue
+                ann = cands[best]
+                pose_gt = np.asarray(ann["pose"], np.float32)
+                pc = per_class_matched[cname]
+                pc["adds"].append(
+                    float(add_error(pts, jnp.asarray(poses[-1]),
+                                    jnp.asarray(pose_gt)))
+                    < 0.1 * asset["diameter"]
+                )
+                pc["projs"].append(
+                    float(projection_2d_error(pts, jnp.asarray(poses[-1]),
+                                              jnp.asarray(pose_gt),
+                                              jnp.asarray(K))) < 5.0
+                )
+                pc["matched"] += 1
+            driver.evaluate(
+                {"pose": np.stack(poses)} if poses else {"pose": np.zeros((0, 3, 4))},
+                {"meta": metas, "img_id": img_ids},
+            )
+
+    multi_instance = driver.summarize()
+    record["multi_instance"] = {
+        **multi_instance,
+        "protocol": "per-GT-image any-match (ref tless_test/pvnet.py:252-256)"
+                    ", VSD step cost tau=20mm delta=15mm thresh 0.3",
     }
+    two_stage = {}
+    for ci, a in enumerate(class_assets):
+        cname = a["name"]
+        pc = per_class_matched[cname]
+        n_gt = sum(
+            1 for anns in gt_by_img.values() for x in anns
+            if x["category_id"] == ci + 1
+        )
+        two_stage[cname] = {
+            "n_gt_instances": n_gt,
+            "n_matched_detections": pc["matched"],
+            "recall": pc["matched"] / max(n_gt, 1),
+            "add": float(np.mean(pc["adds"])) if pc["adds"] else 0.0,
+            "proj2d": float(np.mean(pc["projs"])) if pc["projs"] else 0.0,
+            "gt_crop_ceiling": class_results[cname]["gt_crop_ceiling"],
+        }
+    record["two_stage"] = two_stage
+    record["two_stage"]["decode"] = "standard 1024px/128hyp, PnP iterative"
     record["minutes"] = (time.time() - t_start) / 60
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(record, f, indent=2)
-    print("two_stage:", record["two_stage"])
+    print("two_stage:", json.dumps(two_stage, indent=1))
+    print("multi_instance:", multi_instance)
     print("wrote", args.out)
 
 
