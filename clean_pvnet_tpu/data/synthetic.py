@@ -191,6 +191,30 @@ def _composite_occluders(rng, occluders, K, hw, x, y, z, zbuf, frame_color,
     return zbuf, frame_color, vis
 
 
+def _border_xy(rng, K, hw, z):
+    """Aim the object center at a frame border so ~30-60% is cut off —
+    the Truncation-LINEMOD pose family (ref TRUNCATION_LINEMOD.md:1-10).
+    Shared by the truncation stress split and train-time truncation
+    augmentation."""
+    h, w = hw
+    edge = rng.randint(4)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    u = rng.uniform(0.05, 0.95) * w
+    v = rng.uniform(0.05, 0.95) * h
+    if edge == 0:
+        u = rng.uniform(-0.02, 0.04) * w
+    elif edge == 1:
+        u = w * (1.0 + rng.uniform(-0.04, 0.02))
+    elif edge == 2:
+        v = rng.uniform(-0.02, 0.04) * h
+    else:
+        v = h * (1.0 + rng.uniform(-0.04, 0.02))
+    x = (u - cx) / fx * z
+    y = (v - cy) / fy * z
+    return x, y
+
+
 def generate_synthetic_dataset(
     root: str,
     cls: str = "synth",
@@ -202,6 +226,8 @@ def generate_synthetic_dataset(
     depth: bool = False,
     texture_seed: int | None = None,
     occlude_frac: float = 0.0,
+    truncate_frac: float = 0.0,
+    mesh_seed: int | None = None,
 ) -> dict:
     """Write images/masks/ply/jsons under `root`; returns summary paths.
     texture_seed is not None: sharp per-pixel procedural texture
@@ -211,7 +237,13 @@ def generate_synthetic_dataset(
     [0.35, 0.95]); the mask records only visible pixels — train-time
     occluder augmentation mirroring the reference's fuse data
     (ref linemod_to_coco.py:260-301), which is what makes the occlusion
-    eval measure decode robustness instead of distribution shift."""
+    eval measure decode robustness instead of distribution shift.
+    truncate_frac > 0: that fraction of TRAIN images pose the target so the
+    image border cuts it (the Truncation-LINEMOD family, ref
+    TRUNCATION_LINEMOD.md — eval-only upstream, but synthetic data can
+    train on it). mesh_seed (default = seed) decouples the object identity
+    from the pose/aug rng so extra splits of the SAME object can be
+    generated with fresh randomness."""
     rng = np.random.RandomState(seed)
     h, w = hw
     # scale intrinsics with the frame so geometry stays LINEMOD-like at any
@@ -219,7 +251,9 @@ def generate_synthetic_dataset(
     K = LINEMOD_K.copy()
     K[0] *= w / 640.0
     K[1] *= h / 480.0
-    verts, faces, colors = make_synthetic_mesh(seed)
+    verts, faces, colors = make_synthetic_mesh(
+        seed if mesh_seed is None else mesh_seed
+    )
     cls_dir = os.path.join(root, cls)
     os.makedirs(os.path.join(cls_dir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(cls_dir, "mask"), exist_ok=True)
@@ -254,18 +288,26 @@ def generate_synthetic_dataset(
         images, annotations = [], []
         for i in range(n):
             img_id = id_base + i
-            R = random_rotation(rng)
-            z = rng.uniform(0.45, 0.85)
-            # keep the object roughly in frustum
-            x = rng.uniform(-0.12, 0.12) * z
-            y = rng.uniform(-0.09, 0.09) * z
-            rt = np.concatenate([R, np.array([[x], [y], [z]])], -1)
-            if texture_seed is not None:
-                color, dep, mask = render_textured(
-                    verts, faces, K, rt, hw, texture_seed)
-            else:
-                color, dep, mask = render_mesh_np(
-                    verts, faces, K, rt, hw, colors)
+            truncated = (split == "train" and truncate_frac > 0
+                         and rng.rand() < truncate_frac)
+            for _retry in range(10):
+                R = random_rotation(rng)
+                z = rng.uniform(0.45, 0.85)
+                if truncated:
+                    x, y = _border_xy(rng, K, hw, z)
+                else:
+                    # keep the object roughly in frustum
+                    x = rng.uniform(-0.12, 0.12) * z
+                    y = rng.uniform(-0.09, 0.09) * z
+                rt = np.concatenate([R, np.array([[x], [y], [z]])], -1)
+                if texture_seed is not None:
+                    color, dep, mask = render_textured(
+                        verts, faces, K, rt, hw, texture_seed)
+                else:
+                    color, dep, mask = render_mesh_np(
+                        verts, faces, K, rt, hw, colors)
+                if not truncated or int(mask.sum()) >= 64:
+                    break
 
             vis = mask.astype(bool)
             frame_color = color
@@ -427,22 +469,7 @@ def generate_stress_split(
         R = random_rotation(rng)
         z = rng.uniform(0.45, 0.85)
         if kind == "truncation":
-            # aim the object center at a frame border so ~30-60% is cut off
-            edge = rng.randint(4)
-            fx, fy = K[0, 0], K[1, 1]
-            cx, cy = K[0, 2], K[1, 2]
-            u = rng.uniform(0.05, 0.95) * w
-            v = rng.uniform(0.05, 0.95) * h
-            if edge == 0:
-                u = rng.uniform(-0.02, 0.04) * w
-            elif edge == 1:
-                u = w * (1.0 + rng.uniform(-0.04, 0.02))
-            elif edge == 2:
-                v = rng.uniform(-0.02, 0.04) * h
-            else:
-                v = h * (1.0 + rng.uniform(-0.04, 0.02))
-            x = (u - cx) / fx * z
-            y = (v - cy) / fy * z
+            x, y = _border_xy(rng, K, hw, z)
         else:
             x = rng.uniform(-0.12, 0.12) * z
             y = rng.uniform(-0.09, 0.09) * z

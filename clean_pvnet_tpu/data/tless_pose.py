@@ -142,7 +142,8 @@ class TlessPoseTrainDataset:
     def __init__(self, cfg: Config, ann_file: str, seed: int = 0,
                  crop_size: int = 128, min_visible: float = 0.4,
                  max_distractors: int = 2, host_vertex: bool = True,
-                 symmetric: bool = False):
+                 symmetric: bool = False, scene_hw: tuple = (256, 320),
+                 scale_ratio: float = 1.8):
         import os
 
         from clean_pvnet_tpu.utils.ply import load_ply
@@ -184,10 +185,24 @@ class TlessPoseTrainDataset:
 
         self.fps_3d = farthest_point_sampling_np(verts, 8, init_center=True)
         self.center_3d = (verts.max(0) + verts.min(0)) / 2.0
-        s = crop_size
-        self.K = np.array(
-            [[572.4114 * s / 640.0, 0, s / 2.0],
-             [0, 573.57043 * s / 480.0, s / 2.0],
+        # Scene-frame intrinsics (same scaling rule as the multi-object
+        # scene generator): train crops must be BOX-NORMALIZED — the object
+        # is posed in the scene frame, its detection box (with jitter) is
+        # warped to the fixed crop exactly like DetectionPoseDataset does at
+        # test time, and the render happens directly at the composed
+        # intrinsics K_crop = A_crop · K_scene. The reference's train crops
+        # are normalized by the instance box the same way (ref
+        # lib/datasets/tless_train/pvnet.py:33-125 crop+resize to
+        # input_scale with scale_ratio margin); rendering at a fixed K with
+        # the object scale left to vary with z puts train objects at ~20%
+        # of the crop while detection crops fill ~70% — a domain gap that
+        # costs the whole two-stage accuracy (round-4 cascade diagnosis).
+        self.scene_hw = tuple(scene_hw)
+        self.scale_ratio = float(scale_ratio)
+        sh, sw = self.scene_hw
+        self.K_scene = np.array(
+            [[572.4114 * sw / 640.0, 0, 325.2611 * sw / 640.0],
+             [0, 573.57043 * sh / 480.0, 242.04899 * sh / 480.0],
              [0, 0, 1.0]], np.float32,
         )
         # nominal epoch length (sampling is generative; cfg.train.epoch_size
@@ -197,7 +212,9 @@ class TlessPoseTrainDataset:
     def __len__(self) -> int:
         return self._len
 
-    def _random_pose(self, rng, z_range=(0.35, 0.6), jitter=0.03):
+    def _random_pose(self, rng, z_range=(0.5, 0.9)):
+        """Scene-frame pose matching generate_multiobject_dataset's
+        distribution (z 0.5-0.9, x/y within the frustum)."""
         from clean_pvnet_tpu.data.synthetic import random_rotation
 
         R = random_rotation(rng)
@@ -206,17 +223,21 @@ class TlessPoseTrainDataset:
                 np.concatenate([R, np.zeros((3, 1))], 1)
             )
             R = pose[:, :3]
+        z = rng.uniform(*z_range)
         t = np.array([
-            rng.uniform(-jitter, jitter),
-            rng.uniform(-jitter, jitter),
-            rng.uniform(*z_range),
+            rng.uniform(-0.12, 0.12) * z,
+            rng.uniform(-0.1, 0.1) * z,
+            z,
         ])
         return np.concatenate([R, t[:, None]], 1).astype(np.float32)
 
     def __getitem__(self, index_hw) -> dict[str, Any]:
         from clean_pvnet_tpu.data.augment import photometric_train
-        from clean_pvnet_tpu.data.synthetic import _background
-        from clean_pvnet_tpu.data.tless import paste_sprite, visible_ratio
+        from clean_pvnet_tpu.data.tless import (
+            paste_sprite,
+            sample_background,
+            visible_ratio,
+        )
         from clean_pvnet_tpu.geometry.vertex import compute_vertex_field_np
         from clean_pvnet_tpu.ops.rasterize import render_mesh_np
 
@@ -230,14 +251,35 @@ class TlessPoseTrainDataset:
         s = self.crop_size
         verts, faces, colors = self.meshes[self.cls]
 
+        def crop_K(pose):
+            """Jittered-detection-box crop intrinsics: project the full
+            object, jitter its box like a detector would (center ±8% of
+            the box, size ×[0.85, 1.25]), compose the test-time crop
+            transform into the scene intrinsics."""
+            cam = verts @ pose[:, :3].T + pose[:, 3]
+            pix = cam @ self.K_scene.T
+            uv = pix[:, :2] / pix[:, 2:]
+            (x1, y1), (x2, y2) = uv.min(0), uv.max(0)
+            bw, bh = x2 - x1, y2 - y1
+            cx = (x1 + x2) / 2 + rng.uniform(-0.08, 0.08) * bw
+            cy = (y1 + y2) / 2 + rng.uniform(-0.08, 0.08) * bh
+            size = max(max(bw, bh) * rng.uniform(0.85, 1.25)
+                       * self.scale_ratio, 8.0)
+            M = crop_transform((cx, cy), size, s)
+            A = np.array([[M[0, 0], 0, M[0, 2]],
+                          [0, M[1, 1], M[1, 2]],
+                          [0, 0, 1.0]], np.float64)
+            return (A @ self.K_scene).astype(np.float32)
+
         for _ in range(8):  # occlusion-rejection retries (ref :85-99)
             pose = self._random_pose(rng)
-            color, _, m = render_mesh_np(verts, faces, self.K, pose, (s, s),
+            K = crop_K(pose)
+            color, _, m = render_mesh_np(verts, faces, K, pose, (s, s),
                                          vert_colors=colors)
             full_area = int((m > 0).sum())
             if full_area < 64:
                 continue
-            scene = _background(rng, s, s).astype(np.float32) / 255.0
+            scene = sample_background(rng, (s, s)).astype(np.float32)
             seg = np.zeros((s, s), np.int32)
             paste_sprite(scene, seg, color, m, (0, 0), 1)
 
@@ -246,8 +288,8 @@ class TlessPoseTrainDataset:
             for d in range(n_dis):
                 dc = others[rng.randint(len(others))]
                 dv, df, dcol = self.meshes[dc]
-                dpose = self._random_pose(rng, z_range=(0.3, 0.5))
-                dimg, _, dm = render_mesh_np(dv, df, self.K, dpose, (s, s),
+                dpose = self._random_pose(rng, z_range=(0.45, 0.8))
+                dimg, _, dm = render_mesh_np(dv, df, K, dpose, (s, s),
                                              vert_colors=dcol)
                 off = (rng.randint(-s // 2, s // 2),
                        rng.randint(-s // 2, s // 2))
@@ -256,7 +298,7 @@ class TlessPoseTrainDataset:
                 break
         else:
             # fall back to the unoccluded render
-            scene = _background(rng, s, s).astype(np.float32) / 255.0
+            scene = sample_background(rng, (s, s)).astype(np.float32)
             seg = np.zeros((s, s), np.int32)
             paste_sprite(scene, seg, color, m, (0, 0), 1)
 
@@ -266,7 +308,7 @@ class TlessPoseTrainDataset:
 
         kpt_3d = np.concatenate([self.fps_3d, [self.center_3d]], 0)
         cam = kpt_3d @ pose[:, :3].T + pose[:, 3]
-        pix = cam @ self.K.T
+        pix = cam @ K.T
         kpt_2d = (pix[:, :2] / pix[:, 2:]).astype(np.float32)
 
         if (height, width) != (s, s):  # pad to the requested bucket
@@ -288,7 +330,7 @@ class TlessPoseTrainDataset:
             "meta": {
                 "ann": {
                     "pose": pose.tolist(),
-                    "K": self.K.tolist(),
+                    "K": K.tolist(),
                     "fps_3d": self.fps_3d.tolist(),
                     "center_3d": self.center_3d.tolist(),
                 }

@@ -158,6 +158,37 @@ class TestSyntheticDataset:
                              np.asarray(ann["pose"]), (96, 128), colors)
             assert (saved == full.astype(bool)).all()
 
+    def test_truncation_augmented_training_split(self, tmp_path):
+        """truncate_frac poses TRAIN targets at a frame border (the
+        Truncation-LINEMOD family, ref TRUNCATION_LINEMOD.md): a majority
+        of images must have keypoints projecting outside the frame, every
+        image keeps >=64 visible pixels, and mesh_seed pins the object
+        identity while the pose rng differs."""
+        from PIL import Image
+
+        meta = generate_synthetic_dataset(
+            str(tmp_path), cls="obj", n_train=8, n_test=2, hw=(96, 128),
+            seed=31, mesh_seed=0, truncate_frac=1.0,
+        )
+        # mesh_seed=0 → identical keypoints/diameter to the seed-0 object
+        ref_mesh = make_synthetic_mesh(0)[0]
+        d2 = ((ref_mesh[:, None] - ref_mesh[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(
+            meta["diameter"], float(np.sqrt(d2.max())), rtol=1e-6
+        )
+        with open(meta["train_json"]) as f:
+            data = json.load(f)
+        truncated = 0
+        for ann in data["annotations"]:
+            saved = np.asarray(Image.open(ann["mask_path"])) > 0
+            assert saved.sum() >= 64
+            kpt = np.asarray(ann["fps_2d"])
+            out = ((kpt[:, 0] < 0) | (kpt[:, 0] >= 128)
+                   | (kpt[:, 1] < 0) | (kpt[:, 1] >= 96))
+            if out.any():
+                truncated += 1
+        assert truncated >= 5, truncated
+
 
 class TestLinemodDataset:
     def test_getitem_test_split(self, synth_root):

@@ -76,6 +76,35 @@ class TestTlessPoseTrainDataset:
             s["kpt_2d"], pix[:, :2] / pix[:, 2:], atol=1e-4
         )
 
+    def test_train_crops_are_box_normalized(self, scenes):
+        """Train crops must present the object at DETECTION-CROP scale:
+        the object's keypoint spread in a train crop has to match the
+        spread seen in GT-box detection crops (scale_ratio margin), not
+        the fixed-K apparent size — the round-4 cascade diagnosis showed a
+        ~4x scale gap silently destroys two-stage accuracy (crop model
+        converged to vote loss 0.003 yet decoded 40 px keypoint errors on
+        detection crops)."""
+        from clean_pvnet_tpu.data.tless_pose import TlessPoseTrainDataset
+
+        cfg = Config().with_overrides(
+            {"cls_type": "obj_01", "train.epoch_size": 8}
+        )
+        crop = 64
+        ds = TlessPoseTrainDataset(cfg, scenes["scenes_json"],
+                                   crop_size=crop, seed=0,
+                                   host_vertex=False)
+        spreads = []
+        for i in range(6):
+            it = ds[(i, crop, crop)]
+            spreads.append(np.ptp(it["kpt_2d"], 0).max())
+        mean_spread = float(np.mean(spreads))
+        # with scale_ratio 1.8 and box jitter x[0.85, 1.25], the full
+        # object spans ~crop/1.8 of the crop on average (+-jitter)
+        assert crop / 3.2 < mean_spread < crop / 1.2, (
+            f"train-crop keypoint spread {mean_spread:.1f}px is out of the "
+            f"box-normalized band for crop={crop}"
+        )
+
     def test_digit_cls_type_resolves(self, scenes):
         from clean_pvnet_tpu.data.tless_pose import TlessPoseTrainDataset
 

@@ -63,6 +63,15 @@ def main():
                     help="explicit lr-halving epochs (default: 0.5/0.75/0.9 "
                          "of --epochs); wall-clock-limited runs converge "
                          "faster with early decays")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--extra_train_json", nargs="*", default=None,
+                    help="additional COCO-style train jsons merged into the "
+                         "training set (e.g. a truncation-augmented split); "
+                         "image ids must not collide")
+    ap.add_argument("--init_from", default=None,
+                    help="checkpoint dir to warm-start from (params + "
+                         "batch_stats; step reset to 0 and a fresh "
+                         "optimizer state — the fine-tune pathway)")
     args = ap.parse_args()
     enable_compilation_cache()
 
@@ -95,13 +104,31 @@ def main():
                 f,
             )
 
+    train_json = synth["train_json"]
+    if args.extra_train_json:
+        # merge the base + extra sets into one json (ids must be disjoint —
+        # the synthetic generators use distinct id_base per split family)
+        merged = {"images": [], "annotations": [], "categories": None}
+        for path in [train_json, *args.extra_train_json]:
+            with open(path) as f:
+                d = json.load(f)
+            merged["images"] += d["images"]
+            merged["annotations"] += d["annotations"]
+            merged["categories"] = merged["categories"] or d["categories"]
+        ids = [im["id"] for im in merged["images"]]
+        assert len(ids) == len(set(ids)), "image id collision in merge"
+        train_json = os.path.join(args.root, "synth_train_merged.json")
+        with open(train_json, "w") as f:
+            json.dump(merged, f)
+        print(f"merged train set: {len(ids)} images → {train_json}")
+
     cfg = Config().with_overrides(
         {
             "cls_type": "synth",
             "data_root": args.root,
             "train.batch_size": args.batch,
             "train.image_buckets": (hw,),
-            "train.lr": 1e-3,
+            "train.lr": args.lr,
             "train.milestones": tuple(
                 args.milestones
                 if args.milestones
@@ -122,7 +149,7 @@ def main():
     model = make_network(cfg)
     mesh = make_mesh(num_devices=1)
 
-    train_ds = LinemodDataset(cfg, synth["train_json"], split="train",
+    train_ds = LinemodDataset(cfg, train_json, split="train",
                               host_vertex=False)
     loader = DataLoader(train_ds, args.batch, buckets=(hw,),
                         num_workers=args.workers)
@@ -219,7 +246,16 @@ def main():
 
     ckpt = CheckpointIO(os.path.join(args.root, "ckpt"))
     begin_epoch = -1
-    if not args.fresh:
+    if args.init_from:
+        # warm start: weights from another run, fresh schedule + optimizer
+        src = CheckpointIO(args.init_from)
+        state, src_epoch = src.restore(state)
+        state = state.replace(
+            step=jnp.asarray(0, jnp.int32),
+            opt_state=trainer.tx.init(state.params),
+        )
+        print(f"warm-started from {args.init_from} (epoch {src_epoch})")
+    elif not args.fresh:
         state, begin_epoch = ckpt.restore(state)
     if begin_epoch >= 0:
         print(f"resumed from epoch {begin_epoch}")
