@@ -421,6 +421,7 @@ def generate_stress_split(
     n_keypoints: int = 8,
     min_visible: float = 0.15,
     texture_seed: int | None = None,
+    depth: bool = False,
 ) -> str:
     """Occlusion / truncation test split over the SAME object as
     `generate_synthetic_dataset` (same mesh seed → same fps_3d/diameter),
@@ -459,6 +460,8 @@ def generate_stress_split(
     cls_dir = os.path.join(root, cls)
     os.makedirs(os.path.join(cls_dir, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(cls_dir, "mask"), exist_ok=True)
+    if depth:
+        os.makedirs(os.path.join(cls_dir, "depth"), exist_ok=True)
 
     images, annotations = [], []
     made = 0
@@ -507,6 +510,17 @@ def generate_stress_split(
         mask_path = os.path.join(cls_dir, "mask", f"{kind}_{made:05d}.png")
         Image.fromarray((frame * 255).astype(np.uint8)).save(img_path)
         Image.fromarray((vis * 255).astype(np.uint8)).save(mask_path)
+        depth_path = None
+        if depth:
+            # OBSERVED scene depth — target + occluders, like a real sensor
+            # frame (the reference's occ-LINEMOD ICP consumes the captured
+            # depth map, ref lib/evaluators/linemod/pvnet.py:102-116)
+            scene_depth = np.where(np.isfinite(zbuf), zbuf, 0.0)
+            depth_path = os.path.join(
+                cls_dir, "depth", f"{kind}_{made:05d}.png")
+            Image.fromarray(
+                (scene_depth * 10000).astype(np.uint16), mode="I;16"
+            ).save(depth_path)
 
         def proj(p):
             c = p @ R.T + rt[:, 3]
@@ -533,6 +547,10 @@ def generate_stress_split(
                 "corner_3d": corner_3d.tolist(),
                 "corner_2d": proj(corner_3d),
                 "data_root": cls_dir,
+                **(
+                    {"depth_path": depth_path, "depth_scale": 10000.0}
+                    if depth_path else {}
+                ),
             }
         )
         made += 1

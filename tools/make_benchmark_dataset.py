@@ -53,6 +53,10 @@ def main():
         path = generate_stress_split(
             args.root, cls="synth", kind=kind, n=args.n_stress, hw=hw,
             texture_seed=args.texture_seed,
+            # observed scene depth (target + occluders) feeds eval-time ICP
+            # on the split where the reference applies it (occ-LINEMOD,
+            # ref lib/evaluators/linemod/pvnet.py:102-116)
+            depth=(kind == "occlusion"),
         )
         print(f"{kind} split → {path} in {time.time()-t1:.0f}s", flush=True)
 

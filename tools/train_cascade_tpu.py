@@ -228,29 +228,53 @@ def pose_config(cls_name, args):
     )
 
 
-def build_pose_pool(args, ann_file, cls_name, seed):
+_POOL_DS = None
+
+
+def _pool_init(args_dict, ann_file, cls_name, seed):
+    """Spawned-worker initializer: build the dataset once per process."""
+    global _POOL_DS
+    args = argparse.Namespace(**args_dict)
+    cfg = pose_config(cls_name, args)
+    _POOL_DS = TlessPoseTrainDataset(cfg, ann_file, crop_size=CROP,
+                                     host_vertex=False, seed=seed)
+
+
+def _pool_item(i):
+    it = _POOL_DS[i]
+    return (i, it["inp"].astype(np.float32),
+            it["mask"].astype(np.uint8),
+            it["kpt_2d"].astype(np.float32))
+
+
+def build_pose_pool(args, ann_file, cls_name, seed, workers=2):
     """Compose the class's training-crop pool on the host (cut-paste +
     distractors + photometric aug, ref lib/datasets/tless_train/pvnet.py:
-    33-125) → numpy arrays ready for HBM staging."""
-    cfg = pose_config(cls_name, args)
-    ds = TlessPoseTrainDataset(cfg, ann_file, crop_size=CROP,
-                               host_vertex=False, seed=seed)
+    33-125) → numpy arrays ready for HBM staging.
+
+    Composition is numpy-Python-bound (no GIL release), so thread workers
+    cap at ~5 crops/s on the 2-core host; spawned PROCESS workers reach
+    true parallelism (~2x). `spawn` keeps children clear of the parent's
+    TPU tunnel state."""
+    import multiprocessing as mp
+
     n = args.pose_pool
-    loader = DataLoader(ds, 64, shuffle=False, buckets=((CROP, CROP),),
-                        num_workers=3, drop_last=False)
     inp = np.empty((n, CROP, CROP, 3), np.float32)
     mask = np.empty((n, CROP, CROP), np.uint8)
     kpt = np.empty((n, 9, 2), np.float32)
     t0, i = time.time(), 0
-    for batch in loader:
-        b = np.asarray(batch["inp"]).shape[0]
-        take = min(b, n - i)
-        inp[i:i + take] = np.asarray(batch["inp"])[:take]
-        mask[i:i + take] = np.asarray(batch["mask"])[:take].astype(np.uint8)
-        kpt[i:i + take] = np.asarray(batch["kpt_2d"])[:take]
-        i += take
-        if i >= n:
-            break
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(workers, initializer=_pool_init,
+                  initargs=(vars(args), ann_file, cls_name, seed)) as p:
+        for j, inp_j, mask_j, kpt_j in p.imap_unordered(
+            _pool_item, range(n), chunksize=32
+        ):
+            inp[j], mask[j], kpt[j] = inp_j, mask_j, kpt_j
+            i += 1
+            if i % 1024 == 0:
+                print(f"[pool {cls_name}] {i}/{n} "
+                      f"({i / max(time.time() - t0, 1e-9):.1f}/s)",
+                      flush=True)
     print(f"[pool {cls_name}] {i} crops in {time.time() - t0:.0f}s",
           flush=True)
     return {"inp": inp, "mask": mask, "kpt_2d": kpt}
