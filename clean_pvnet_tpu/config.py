@@ -181,6 +181,12 @@ class TestConfig:
     # render resolution for eval-time ICP depth synthesis (must match the
     # dataset's depth-map size)
     icp_render_hw: tuple = (480, 640)
+    # ICP confidence gate: when > 0, eval-time ICP is SKIPPED for frames
+    # whose mean voting inlier ratio is at or above this value — the decode
+    # is already trustworthy there, and refining a converged pose degrades
+    # it (ablation_r03.json icp_add 0.63 vs decode ADD 0.98). 0 = always
+    # refine (reference behavior, ref linemod/pvnet.py:102-116).
+    icp_gate_inlier: float = 0.0
     det_gt: bool = False
     vsd: bool = False
     vsd_tau: float = 20.0

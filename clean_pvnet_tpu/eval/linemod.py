@@ -60,6 +60,8 @@ class LinemodEvaluator:
         self.mask_ap: list[bool] = []
         self.icp_add: list[bool] = []
         self.add_dists: list[float] = []
+        self.icp_applied = 0
+        self.icp_gated = 0
 
     def evaluate_pose(self, pose_pred, pose_gt, K) -> dict:
         """Single pose pair → metric booleans (threshold semantics:
@@ -82,9 +84,22 @@ class LinemodEvaluator:
 
     def evaluate(self, output: dict, batch: dict):
         """Accumulate one batch. output: pipeline dict with 'pose' and
-        'mask'; batch: collated loader dict with meta anns."""
+        'mask'; batch: collated loader dict with meta anns.
+
+        Eval-time ICP is gated on decode confidence when
+        cfg.test.icp_gate_inlier > 0: a mean voting inlier ratio at or
+        above the gate means the decode is already trustworthy and ICP is
+        a no-op (the reference applies ICP only on the split where base
+        accuracy is LOW — occ-LINEMOD, ref lib/evaluators/linemod/
+        pvnet.py:102-116 — and measured here, refining an already-converged
+        pose DEGRADES it: ablation_r03.json icp_add 0.63 vs decode 0.98)."""
         poses = np.asarray(output["pose"])
         masks_pred = np.asarray(output["mask"])
+        inlier = (
+            np.asarray(output["inlier_ratio"])
+            if "inlier_ratio" in output else None
+        )
+        gate = float(getattr(self.cfg.test, "icp_gate_inlier", 0.0))
         metas = batch["meta"]
         masks_gt = np.asarray(batch["mask"])
         for i in range(len(poses)):
@@ -93,7 +108,16 @@ class LinemodEvaluator:
             K = np.asarray(ann["K"], np.float32)
             pose_pred = poses[i]
             if self.icp_refiner is not None and "depth_path" in ann:
-                refined = self.icp_refiner(pose_pred, ann, masks_pred[i], K)
+                conf = (
+                    float(inlier[i].mean()) if inlier is not None else 0.0
+                )
+                if gate > 0.0 and conf >= gate:
+                    refined = pose_pred  # confident decode: ICP no-op
+                    self.icp_gated += 1
+                else:
+                    refined = self.icp_refiner(
+                        pose_pred, ann, masks_pred[i], K)
+                    self.icp_applied += 1
                 m = self.evaluate_pose(refined, pose_gt, K)
                 self.icp_add.append(m["add"])
             m = self.evaluate_pose(pose_pred, pose_gt, K)
@@ -113,6 +137,8 @@ class LinemodEvaluator:
         }
         if self.icp_add:
             out["icp_add"] = float(np.mean(self.icp_add))
+            out["icp_applied"] = self.icp_applied
+            out["icp_gated"] = self.icp_gated
         print(f"2d projections metric: {out['proj2d']}")
         print(f"ADD metric: {out['add']}")
         print(f"5 cm 5 degree metric: {out['cmd5']}")

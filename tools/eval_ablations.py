@@ -134,6 +134,14 @@ def main():
         ("un_pnp_icp", {"test.icp": True}, True, "test"),
         ("occ_unpnp_icp",
          {"test.icp": True, "voting.num_rounds": 20}, True, "occlusion"),
+        # confidence-gated ICP (VERDICT r3 item 3): refine ONLY frames
+        # whose mean inlier ratio is below the gate — a no-op where the
+        # decode is already converged, active on the hard (occluded) tail
+        ("unpnp_icp_gated",
+         {"test.icp": True, "test.icp_gate_inlier": 0.7}, True, "test"),
+        ("occ_unpnp_icp_gated",
+         {"test.icp": True, "test.icp_gate_inlier": 0.7,
+          "voting.num_rounds": 20}, True, "occlusion"),
     ]
     if args.only:
         keep = set(args.only.split(","))
