@@ -82,6 +82,45 @@ def main():
     t_aug = timed(aug, jax.random.PRNGKey(0), raw, iters=args.iters)
     print(f"augment only:        {t_aug:8.1f} ms/step")
 
+    # --- augmentation sub-stages (each as its own jitted program) --------
+    from clean_pvnet_tpu.data.augment_device import (
+        affine_sample_bilinear,
+        affine_sample_nearest,
+        color_jitter_device,
+        gaussian_blur_device,
+        sample_affine,
+    )
+    from clean_pvnet_tpu.geometry.vertex import compute_vertex_field
+
+    key0 = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def warp_only(k, bb):
+        _, A_inv = jax.vmap(
+            lambda kk, m: sample_affine(kk, m, (h, w), cfg.train)
+        )(jax.random.split(k, b), bb["mask"])
+        img = bb["inp_u8"].astype(jnp.float32)
+        out = jax.vmap(
+            lambda im, ai: affine_sample_bilinear(im, ai, (h, w))
+        )(img, A_inv)
+        m = jax.vmap(
+            lambda mm, ai: affine_sample_nearest(
+                mm.astype(jnp.int32), ai, (h, w))
+        )(bb["mask"], A_inv)
+        return out, m
+
+    print(f"  warp (affine+gather):{timed(warp_only, key0, raw, iters=args.iters):7.1f} ms")
+    imgf = raw["inp_u8"].astype(jnp.float32)
+    blur = jax.jit(lambda k, x: gaussian_blur_device(k, x))
+    print(f"  gaussian blur:       {timed(blur, key0, imgf, iters=args.iters):7.1f} ms")
+    jit_j = jax.jit(lambda k, x: color_jitter_device(k, x))
+    print(f"  color jitter:        {timed(jit_j, key0, imgf, iters=args.iters):7.1f} ms")
+    vert = jax.jit(
+        lambda m, k: jax.vmap(compute_vertex_field)(m, k)
+    )
+    mask_i32 = raw["mask"].astype(jnp.int32)
+    print(f"  vertex targets:      {timed(vert, mask_i32, raw['kpt_2d'], iters=args.iters):7.1f} ms")
+
     inp, mgt, kpt = aug(jax.random.PRNGKey(0), raw)
     pre = shard_batch(
         {"inp": inp, "mask": mgt.astype(np.int32), "kpt_2d": kpt}, mesh
