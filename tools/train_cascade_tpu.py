@@ -259,6 +259,11 @@ def build_pose_pool(args, ann_file, cls_name, seed, workers=2):
     import multiprocessing as mp
 
     n = args.pose_pool
+    cache = os.path.join(args.root, f"pool_{cls_name}_{n}_s{seed}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        print(f"[pool {cls_name}] loaded cache {cache}", flush=True)
+        return {"inp": z["inp"], "mask": z["mask"], "kpt_2d": z["kpt_2d"]}
     inp = np.empty((n, CROP, CROP, 3), np.float32)
     mask = np.empty((n, CROP, CROP), np.uint8)
     kpt = np.empty((n, 9, 2), np.float32)
@@ -277,6 +282,7 @@ def build_pose_pool(args, ann_file, cls_name, seed, workers=2):
                       flush=True)
     print(f"[pool {cls_name}] {i} crops in {time.time() - t0:.0f}s",
           flush=True)
+    np.savez(cache, inp=inp, mask=mask, kpt_2d=kpt)
     return {"inp": inp, "mask": mask, "kpt_2d": kpt}
 
 
@@ -288,19 +294,51 @@ def gt_crop_items(pose_cfg, test_json, cls_idx):
     return ds, [ds[i] for i in idxs]
 
 
-def eval_crops(pose_cfg, model, variables, ds, items, kpt_3d, mesh_pts,
-               diameter, tag):
-    """Decode + PnP on a fixed set of crops; returns kpt px err / ADD /
-    proj2d. For GT crops this is the single-stage crop ceiling."""
-    if not items:
-        return {}
+def make_crop_decoder(pose_cfg, model, un_pnp):
+    """Jitted crop forward+decode; returns (kpt_crop [B,9,2], var|None)."""
 
     @jax.jit
     def fwd(vrs, inp):
         out = model.apply(vrs, inp, train=False)
         return decode_keypoints(out["seg"], out["vertex"],
-                                jax.random.PRNGKey(0), pose_cfg)
+                                jax.random.PRNGKey(0), pose_cfg,
+                                un_pnp=un_pnp)
 
+    def run(variables, inp):
+        dec = fwd(variables, jnp.asarray(inp))
+        var = np.asarray(dec["var"]) if un_pnp and "var" in dec else None
+        return np.asarray(dec["kpt_2d"]), var
+
+    return run
+
+
+def crop_pnp(kpt_3d, kpt_img, K, var_img=None):
+    """Image-frame PnP; uncertainty-weighted when the decode covariance is
+    available (the reference's T-LESS un_pnp test config,
+    ref lib/evaluators/tless_test/pvnet.py:228-239)."""
+    from clean_pvnet_tpu.geometry.pnp import solve_pnp_uncertainty
+
+    if var_img is not None:
+        return np.asarray(
+            solve_pnp_uncertainty(
+                jnp.asarray(kpt_3d, jnp.float32),
+                jnp.asarray(kpt_img, jnp.float32),
+                jnp.asarray(var_img, jnp.float32), jnp.asarray(K))
+        )
+    return np.asarray(
+        solve_pnp(jnp.asarray(kpt_3d, jnp.float32),
+                  jnp.asarray(kpt_img, jnp.float32), jnp.asarray(K))
+    )
+
+
+def eval_crops(pose_cfg, model, variables, ds, items, kpt_3d, mesh_pts,
+               diameter, tag, un_pnp=False):
+    """Decode + PnP on a fixed set of crops; returns kpt px err / ADD /
+    proj2d. For GT crops this is the single-stage crop ceiling."""
+    if not items:
+        return {}
+
+    decoder = make_crop_decoder(pose_cfg, model, un_pnp)
     adds, projs, errs = [], [], []
     B = 16
     pts = jnp.asarray(mesh_pts, jnp.float32)
@@ -310,20 +348,19 @@ def eval_crops(pose_cfg, model, variables, ds, items, kpt_3d, mesh_pts,
         pad = B - len(sub)
         if pad:
             inp = np.concatenate([inp, np.repeat(inp[-1:], pad, 0)])
-        dec = fwd(variables, jnp.asarray(inp))
-        kpt_crop = np.asarray(dec["kpt_2d"])[: len(sub)]
+        kpt_crop, var = decoder(variables, inp)
+        kpt_crop = kpt_crop[: len(sub)]
         for j, it in enumerate(sub):
             ann = it["meta"]["ann"]
             K = np.asarray(ann["K"], np.float32)
             kpt_img = ds_kpt_to_image(it, kpt_crop[j])
+            step = it["meta"]["crop_size"] / CROP
+            var_img = var[j] * step * step if var is not None else None
             gt_kpt = np.asarray(
                 list(ann["fps_2d"]) + [ann["center_2d"]], np.float32
             )
             errs.append(float(np.linalg.norm(kpt_img - gt_kpt, axis=-1).mean()))
-            pose_pred = np.asarray(
-                solve_pnp(jnp.asarray(kpt_3d, jnp.float32),
-                          jnp.asarray(kpt_img, jnp.float32), jnp.asarray(K))
-            )
+            pose_pred = crop_pnp(kpt_3d, kpt_img, K, var_img)
             pose_gt = np.asarray(ann["pose"], np.float32)
             adds.append(
                 float(add_error(pts, jnp.asarray(pose_pred),
@@ -394,7 +431,29 @@ def train_pose_class(args, mesh, cls_name, pool, record):
     record[f"pose_curve_{cls_name}"] = curve
     del staged
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    _save_crop_model(args.root, cls_name, variables)
     return pose_cfg, model, variables
+
+
+def _crop_model_path(root, cls_name):
+    return os.path.join(root, f"crop_{cls_name}.msgpack")
+
+
+def _save_crop_model(root, cls_name, variables):
+    from flax import serialization
+
+    with open(_crop_model_path(root, cls_name), "wb") as f:
+        f.write(serialization.to_bytes(
+            jax.tree_util.tree_map(np.asarray, variables)))
+    print(f"saved crop model → {_crop_model_path(root, cls_name)}",
+          flush=True)
+
+
+def _load_crop_model(root, cls_name, template):
+    from flax import serialization
+
+    with open(_crop_model_path(root, cls_name), "rb") as f:
+        return serialization.from_bytes(template, f.read())
 
 
 def main():
@@ -412,6 +471,12 @@ def main():
     ap.add_argument("--num_classes", type=int, default=3)
     ap.add_argument("--skip_det", action="store_true",
                     help="reuse <root>/det_results.json from a prior run")
+    ap.add_argument("--load_pose", action="store_true",
+                    help="reuse <root>/crop_<cls>.msgpack crop models from "
+                         "a prior run (skip stage-2 training)")
+    ap.add_argument("--un_pnp", action="store_true",
+                    help="stage-3 decode: covariance decode + uncertainty "
+                         "PnP per crop (the reference's T-LESS test config)")
     args = ap.parse_args()
     enable_compilation_cache()
     t_start = time.time()
@@ -431,6 +496,10 @@ def main():
 
     def pool_builder():
         for ci, cname in enumerate(class_names):
+            if args.load_pose and os.path.exists(
+                _crop_model_path(args.root, cname)
+            ):
+                continue
             p = build_pose_pool(args, jsons["train"], cname, seed=ci)
             with pool_lock:
                 pools[cname] = p
@@ -453,14 +522,27 @@ def main():
     class_assets, class_results = [], {}
     models = {}
     for ci, cname in enumerate(class_names):
-        with pool_lock:
-            while cname not in pools:
-                pool_lock.wait(5.0)
-            pool = pools.pop(cname)
-        pose_cfg, model, variables = train_pose_class(
-            args, mesh, cname, pool, record
-        )
-        del pool
+        if args.load_pose and os.path.exists(
+            _crop_model_path(args.root, cname)
+        ):
+            pose_cfg = pose_config(cname, args)
+            model = make_network(pose_cfg)
+            init_vars = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, CROP, CROP, 3), jnp.float32), train=False)
+            template = {"params": init_vars["params"],
+                        "batch_stats": init_vars.get("batch_stats", {})}
+            variables = _load_crop_model(args.root, cname, template)
+            print(f"loaded crop model for {cname}")
+        else:
+            with pool_lock:
+                while cname not in pools:
+                    pool_lock.wait(5.0)
+                pool = pools.pop(cname)
+            pose_cfg, model, variables = train_pose_class(
+                args, mesh, cname, pool, record
+            )
+            del pool
 
         mesh_ply = load_ply(os.path.join(train_root, cname, f"{cname}.ply"))
         d2 = ((mesh_ply["pts"][:, None] - mesh_ply["pts"][None]) ** 2).sum(-1)
@@ -479,7 +561,8 @@ def main():
         class_results[cname] = {
             "gt_crop_ceiling": eval_crops(
                 pose_cfg, model, variables, gt_ds, gt_items, kpt_3d,
-                mesh_ply["pts"], diameter, f"ceiling {cname}"
+                mesh_ply["pts"], diameter, f"ceiling {cname}",
+                un_pnp=args.un_pnp,
             )
         }
 
@@ -509,12 +592,7 @@ def main():
         idxs = [i for i in range(len(det_ds))
                 if det_ds.index[i]["cls"] == ci]
         print(f"two-stage eval {cname}: {len(idxs)} detections")
-
-        @jax.jit
-        def fwd(vrs, inp):
-            out = model.apply(vrs, inp, train=False)
-            return decode_keypoints(out["seg"], out["vertex"],
-                                    jax.random.PRNGKey(0), pose_cfg)
+        decoder = make_crop_decoder(pose_cfg, model, args.un_pnp)
 
         B = 16
         pts = jnp.asarray(asset["pts"], jnp.float32)
@@ -524,12 +602,14 @@ def main():
             pad = B - len(sub)
             if pad:
                 inp = np.concatenate([inp, np.repeat(inp[-1:], pad, 0)])
-            dec = fwd(variables, jnp.asarray(inp))
-            kpt_crop = np.asarray(dec["kpt_2d"])[: len(sub)]
+            kpt_crop, var = decoder(variables, inp)
+            kpt_crop = kpt_crop[: len(sub)]
             poses, metas, img_ids = [], [], []
             for j, it in enumerate(sub):
                 meta = it["meta"]
                 kpt_img = ds_kpt_to_image(it, kpt_crop[j])
+                step = meta["crop_size"] / CROP
+                var_img = var[j] * step * step if var is not None else None
                 # intrinsics: every instance in a scene shares the scene K
                 anns = gt_by_img.get(it["img_id"], [])
                 K = np.asarray(
@@ -538,11 +618,7 @@ def main():
                           [0, 0, 1]],
                     np.float32,
                 )
-                pose_pred = np.asarray(
-                    solve_pnp(jnp.asarray(asset["kpt_3d"], jnp.float32),
-                              jnp.asarray(kpt_img, jnp.float32),
-                              jnp.asarray(K))
-                )
+                pose_pred = crop_pnp(asset["kpt_3d"], kpt_img, K, var_img)
                 poses.append(pose_pred)
                 metas.append(meta)
                 img_ids.append(it["img_id"])
@@ -604,7 +680,10 @@ def main():
             "gt_crop_ceiling": class_results[cname]["gt_crop_ceiling"],
         }
     record["two_stage"] = two_stage
-    record["two_stage"]["decode"] = "standard 1024px/128hyp, PnP iterative"
+    record["two_stage"]["decode"] = (
+        "un_pnp covariance decode + uncertainty PnP" if args.un_pnp
+        else "standard 1024px/128hyp, PnP iterative"
+    )
     record["minutes"] = (time.time() - t_start) / 60
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
