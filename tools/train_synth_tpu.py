@@ -106,14 +106,20 @@ def main():
 
     train_json = synth["train_json"]
     if args.extra_train_json:
-        # merge the base + extra sets into one json (ids must be disjoint —
-        # the synthetic generators use distinct id_base per split family)
+        # merge the base + extra sets into one json; each extra file's ids
+        # are remapped into a disjoint block (generators base train ids at 0)
         merged = {"images": [], "annotations": [], "categories": None}
-        for path in [train_json, *args.extra_train_json]:
+        for fi, path in enumerate([train_json, *args.extra_train_json]):
             with open(path) as f:
                 d = json.load(f)
-            merged["images"] += d["images"]
-            merged["annotations"] += d["annotations"]
+            off = fi * 10_000_000
+            for im in d["images"]:
+                im = dict(im, id=im["id"] + off)
+                merged["images"].append(im)
+            for ann in d["annotations"]:
+                ann = dict(ann, id=ann["id"] + off,
+                           image_id=ann["image_id"] + off)
+                merged["annotations"].append(ann)
             merged["categories"] = merged["categories"] or d["categories"]
         ids = [im["id"] for im in merged["images"]]
         assert len(ids) == len(set(ids)), "image id collision in merge"
