@@ -95,8 +95,10 @@ def train_class(args, mesh, cls, meta):
             "train.batch_size": args.batch,
             "train.image_buckets": (HW,),
             "train.lr": 1e-3,
+            # deep decay ladder: the flagship's accuracy steps landed with
+            # the lr halvings (synth_r4_curve.jsonl) — start them early
             "train.milestones": tuple(
-                int(epochs * f) for f in (0.5, 0.7, 0.85)
+                int(epochs * f) for f in (0.45, 0.62, 0.76, 0.88)
             ),
             "train.dataset": "SyntheticTrain",
             "test.dataset": "SyntheticTest",
