@@ -157,3 +157,60 @@ class TestLinemodRefinerAdapter:
         out = refiner(p, {"depth_path": "does_not_exist.png"},
                       np.zeros(HW, np.int32), np.asarray(K))
         np.testing.assert_array_equal(out, p)  # no depth read, no refine
+
+
+class TestICPConfidenceGate:
+    def _eval_with_gate(self, tmp_path, gate, inlier):
+        """LinemodEvaluator with a counting fake refiner; returns
+        (icp_applied, icp_gated)."""
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from clean_pvnet_tpu.config import Config
+        from clean_pvnet_tpu.eval.linemod import LinemodEvaluator
+
+        calls = []
+
+        def fake_refiner(pose, ann, mask, K):
+            calls.append(1)
+            return pose
+
+        cfg = Config().with_overrides({"test.icp_gate_inlier": gate})
+        pts = np.random.RandomState(0).randn(32, 3).astype(np.float32) * 0.05
+        ev = LinemodEvaluator(cfg, pts, 0.15, cls_type="synth",
+                              icp_refiner=fake_refiner)
+        depth_path = str(tmp_path / "d.png")
+        Image.fromarray(np.full((8, 8), 5000, np.uint16)).save(depth_path)
+        pose = np.concatenate([np.eye(3), [[0], [0], [0.5]]], 1).astype(
+            np.float32)
+        K = np.array([[100, 0, 4], [0, 100, 4], [0, 0, 1]], np.float32)
+        output = {
+            "pose": pose[None],
+            "mask": np.ones((1, 8, 8), np.int32),
+            "inlier_ratio": np.full((1, 9), inlier, np.float32),
+        }
+        batch = {
+            "meta": [{"ann": {"pose": pose.tolist(), "K": K.tolist(),
+                              "depth_path": depth_path}}],
+            "mask": np.ones((1, 8, 8), np.int32),
+        }
+        ev.evaluate(output, batch)
+        m = ev.summarize()
+        return len(calls), m
+
+    def test_gate_skips_confident_decodes(self, tmp_path):
+        # inlier 0.9 >= gate 0.7 → ICP must NOT run; icp_add = decode add
+        calls, m = self._eval_with_gate(tmp_path, gate=0.7, inlier=0.9)
+        assert calls == 0
+        assert m["icp_gated"] == 1 and m["icp_applied"] == 0
+        assert m["icp_add"] == m["add"]
+
+    def test_gate_refines_low_confidence(self, tmp_path):
+        calls, m = self._eval_with_gate(tmp_path, gate=0.7, inlier=0.3)
+        assert calls == 1
+        assert m["icp_applied"] == 1 and m["icp_gated"] == 0
+
+    def test_gate_zero_always_refines(self, tmp_path):
+        # gate 0 = reference behavior: always refine
+        calls, m = self._eval_with_gate(tmp_path, gate=0.0, inlier=0.99)
+        assert calls == 1
