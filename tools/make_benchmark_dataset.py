@@ -48,7 +48,7 @@ def main():
     )
     print(f"train/test generated in {time.time()-t0:.0f}s", flush=True)
 
-    for kind in ("occlusion", "truncation"):
+    for kind in ("occlusion", "truncation", "domain"):
         t1 = time.time()
         path = generate_stress_split(
             args.root, cls="synth", kind=kind, n=args.n_stress, hw=hw,
