@@ -177,6 +177,90 @@ def affine_sample_bilinear(img, A_inv, out_hw, fill=0.0):
     )
 
 
+def warp_rgb_mask_packed(img_u8, mask, A_inv, out_hw):
+    """Fused bilinear-RGB + nearest-mask affine warp via ONE row gather.
+
+    The naive formulation (4 bilinear `jnp.take` taps on the image + 1
+    nearest tap on the mask) costs 5 gathers; on TPU the gather engine runs
+    at ~7–8 ns *per gathered row* regardless of row width (measured: 17 ms
+    per tap at [8,480,640]), so the augmentation paid ~88 ms/step. Instead:
+
+      * pack RGB + mask into one u32 per pixel (r | g<<8 | b<<16 | m<<24);
+      * build the shifted-neighbor table T[y,x] = (P[y,x], P[y,x+1],
+        P[y+1,x], P[y+1,x+1]) — 16 contiguous bytes per pixel, pure
+        shifts/concats at VPU/HBM speed;
+      * gather ONE [4]-u32 row per output pixel at the clipped window start
+        (y0c, x0c) = clip(floor(s), 0, dim-2), then select each tap from
+        the 4-vector with elementwise `where`s.
+
+    A valid tap always lands inside the clipped 2×2 window (x0c = clip(x0,
+    0, w-2) shifts the window only when the tap itself is out of frame, and
+    out-of-frame taps are masked to the fill value), so the result is
+    bit-identical to the 4-tap formulation (asserted for the RGB path in
+    tests/test_augment_device.py). The nearest mask tap round(s) =
+    floor(s) + (frac ≥ 0.5) is one of the 4 corners; this differs from the
+    previous `jnp.round` (half-to-even) only on exact .5 ties — measure-zero
+    under the continuous random affines. Measured: 88.3 → 17.6 ms for the
+    batch-8 480×640 warp.
+
+    img_u8 [H,W,3] uint8, mask [H,W] integer in [0,255], A_inv [2,3]
+    output→source map → (rgb float32 [oh,ow,3] fill 0, mask int32 [oh,ow]
+    fill 0).
+    """
+    h, w = mask.shape
+    out_h, out_w = out_hw
+    i32 = img_u8.astype(jnp.uint32)
+    packed = (i32[..., 0] | (i32[..., 1] << 8) | (i32[..., 2] << 16)
+              | (mask.astype(jnp.uint32) << 24))
+    px = jnp.concatenate([packed[:, 1:], packed[:, -1:]], 1)
+    py = jnp.concatenate([packed[1:], packed[-1:]], 0)
+    pxy = jnp.concatenate([py[:, 1:], py[:, -1:]], 1)
+    T = jnp.stack([packed, px, py, pxy], -1).reshape(h * w, 4)
+
+    gx = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+    sx = A_inv[0, 0] * gx + A_inv[0, 1] * gy + A_inv[0, 2]
+    sy = A_inv[1, 0] * gx + A_inv[1, 1] * gy + A_inv[1, 2]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x0c = jnp.clip(x0i, 0, w - 2)
+    y0c = jnp.clip(y0i, 0, h - 2)
+    win = jnp.take(T, (y0c * w + x0c).reshape(-1), axis=0)
+    win = win.reshape(out_h, out_w, 4)
+
+    def tap(dy, dx):
+        ry = jnp.clip(y0i + dy - y0c, 0, 1)
+        rx = jnp.clip(x0i + dx - x0c, 0, 1)
+        k = ry * 2 + rx
+        v = jnp.where(k == 0, win[..., 0],
+                      jnp.where(k == 1, win[..., 1],
+                                jnp.where(k == 2, win[..., 2], win[..., 3])))
+        valid = ((x0i + dx >= 0) & (x0i + dx < w)
+                 & (y0i + dy >= 0) & (y0i + dy < h))
+        return v, valid
+
+    def rgb(v):
+        return jnp.stack(
+            [v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF], -1
+        ).astype(jnp.float32)
+
+    acc = 0.0
+    wts = [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy]
+    for (dy, dx), wt in zip(((0, 0), (0, 1), (1, 0), (1, 1)), wts):
+        v, valid = tap(dy, dx)
+        acc = acc + jnp.where(valid[..., None], rgb(v), 0.0) * wt[..., None]
+
+    ndy = (fy >= 0.5).astype(jnp.int32)
+    ndx = (fx >= 0.5).astype(jnp.int32)
+    vn, validn = tap(ndy, ndx)
+    m = jnp.where(validn, (vn >> 24).astype(jnp.int32), 0)
+    return acc, m
+
+
 def affine_sample_nearest(img, A_inv, out_hw, fill=0):
     """Integer/nearest variant for masks; img [H,W] int."""
     h, w = img.shape
@@ -267,13 +351,9 @@ def augment_batch_device(key, img_u8, mask, kpt_2d, train_cfg, out_hw=None):
     )
     A_fwd, A_inv = affs
 
-    img = img_u8.astype(jnp.float32)
-    img = jax.vmap(
-        lambda im, ai: affine_sample_bilinear(im, ai, out_hw)
-    )(img, A_inv)
-    mask_w = jax.vmap(
-        lambda m, ai: affine_sample_nearest(m.astype(jnp.int32), ai, out_hw)
-    )(mask, A_inv)
+    img, mask_w = jax.vmap(
+        lambda im, m, ai: warp_rgb_mask_packed(im, m, ai, out_hw)
+    )(img_u8, mask, A_inv)
     ones = jnp.ones(kpt_2d.shape[:-1] + (1,), kpt_2d.dtype)
     kpt_w = jnp.einsum(
         "bij,bkj->bki", A_fwd, jnp.concatenate([kpt_2d, ones], -1)

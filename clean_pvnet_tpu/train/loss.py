@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import optax
 
 
 def smooth_l1(pred: jax.Array, target: jax.Array, beta: float = 1.0) -> jax.Array:
@@ -32,9 +31,17 @@ def pvnet_loss(
     vote = jnp.sum(smooth_l1(vertex_pred * w, vertex_gt * w))
     vote = vote / (jnp.sum(w) + 1e-6) / ver_dim
 
-    seg = optax.softmax_cross_entropy_with_integer_labels(
-        seg_logits, mask_gt.astype(jnp.int32)
-    ).mean()
+    # CE = logsumexp(logits) - logits[label], with the label pick written as
+    # a one-hot contraction instead of optax's take_along_axis: on TPU the
+    # per-pixel class gather (and its backward scatter) ran at ~8 ns/elem
+    # and cost 34+11 ms/step at [8,480,640,2] — the one-hot dot is a pure
+    # VPU elementwise+reduce that fuses into the logits producer.
+    labels = mask_gt.astype(jnp.int32)
+    n_cls = seg_logits.shape[-1]
+    lse = jax.nn.logsumexp(seg_logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, n_cls, dtype=seg_logits.dtype)
+    picked = jnp.sum(seg_logits * onehot, axis=-1)
+    seg = (lse - picked).mean()
 
     total = vote + seg
     return total, {"vote_loss": vote, "seg_loss": seg, "loss": total}

@@ -19,6 +19,7 @@ from clean_pvnet_tpu.data.augment_device import (
     color_jitter_device,
     gaussian_blur_device,
     sample_affine,
+    warp_rgb_mask_packed,
 )
 from clean_pvnet_tpu.utils.image import (
     gaussian_blur,
@@ -61,6 +62,28 @@ class TestAffineSample:
         )
         # rounding ties at half-pixels may differ on a sparse boundary set
         assert (dev != host).mean() < 0.02
+
+
+class TestPackedWarp:
+    def test_packed_matches_taps(self, rng):
+        """The single-gather packed warp must reproduce the 4-tap bilinear
+        formulation bit-exactly on the image and (up to .5-rounding ties)
+        the nearest mask, including out-of-frame fill regions."""
+        h, w = 48, 64
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        mask = (rng.rand(h, w) > 0.6).astype(np.uint8)
+        for deg, sc, tx in ((17.0, 1.1, -9.0), (-31.0, 0.8, 20.0)):
+            M = rotation_matrix_2d((w / 2, h / 2), deg)
+            M[:, :2] *= sc
+            M[0, 2] += tx
+            Ai = jnp.asarray(_invert(M), jnp.float32)
+            ref_img = affine_sample_bilinear(
+                jnp.asarray(img, jnp.float32), Ai, (h, w))
+            ref_m = affine_sample_nearest(jnp.asarray(mask, jnp.int32), Ai, (h, w))
+            got_img, got_m = warp_rgb_mask_packed(
+                jnp.asarray(img), jnp.asarray(mask), Ai, (h, w))
+            np.testing.assert_array_equal(np.asarray(got_img), np.asarray(ref_img))
+            assert (np.asarray(got_m) != np.asarray(ref_m)).mean() < 0.01
 
 
 class TestSampleAffine:
