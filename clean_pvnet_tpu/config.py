@@ -104,6 +104,13 @@ class VotingConfig:
     #                               unbiased ratio estimate with ~2% noise
     #                               — see ops/voting.py. ADVICE r3 item 2)
     cov_inlier_thresh: float = 0.99
+    cov_reuse: bool = False       # pool the vote rounds' own hypotheses +
+    #                               ratios for the covariance instead of a
+    #                               fresh cov_hypotheses population — skips
+    #                               the two dominant un_pnp decode stages
+    #                               (see ops/voting.ransac_vote_with_cov);
+    #                               default off = reference-equivalent
+    #                               covariance sample size
     # projective (vanishing-point) decode for truncated objects — the
     # 3-component hypothesis kernels the reference ships but never wires
     # (ref ransac_voting_kernel.cu:170-310). Keypoints outside the crop stay

@@ -218,6 +218,7 @@ def decode_keypoints(
             confidence=v.confidence,
             cov_hypotheses=v.cov_hypotheses,
             cov_pixels=v.cov_pixels,
+            cov_reuse=v.cov_reuse,
             approx_fg=v.approx_fg,
             fg_weights=fw[0] if fw else None,
         )

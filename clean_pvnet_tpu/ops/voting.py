@@ -39,6 +39,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 class VoteResult(NamedTuple):
@@ -395,7 +396,6 @@ def _cov_around_mean(direct, coords, valid, tv, enough, mean, key,
     uniform subsample; with weighted_fg it is the most-confident prefix
     (documented bias, same as the rolled-pair interaction). This is the
     dominant un_pnp decode stage (hn·T drops 4× at cov_pixels=2048)."""
-    vn = direct.shape[1]
     if cov_pixels and cov_pixels < coords.shape[0]:
         direct = direct[:cov_pixels]
         coords = coords[:cov_pixels]
@@ -406,7 +406,14 @@ def _cov_around_mean(direct, coords, valid, tv, enough, mean, key,
     )  # [hn, vn, 2]
     counts = _count_inliers(hyp, direct, coords, valid, inlier_thresh, hyp_chunk)
     ratio = counts.astype(jnp.float32) / jnp.maximum(tv, 1)  # [hn, vn]
+    return _weighted_cov(hyp, ratio, mean, enough)
 
+
+def _weighted_cov(hyp, ratio, mean, enough):
+    """Inlier-ratio-weighted scatter of a hypothesis population around
+    `mean`, keeping ratios within 0.1 of the per-keypoint max (the tail of
+    ref ransac_voting_gpu.py:240-266). hyp [hn, vn, 2], ratio [hn, vn] ->
+    cov [vn, 2, 2]."""
     ratio_v = ratio.T  # [vn, hn]
     hyp_v = jnp.swapaxes(hyp, 0, 1)  # [vn, hn, 2]
     thresh = jnp.max(ratio_v, -1, keepdims=True) - 0.1
@@ -428,6 +435,7 @@ def _cov_around_mean(direct, coords, valid, tv, enough, mean, key,
         "cov_hypotheses",
         "approx_fg",
         "cov_pixels",
+        "cov_reuse",
     ),
 )
 def ransac_vote_with_cov(
@@ -445,6 +453,7 @@ def ransac_vote_with_cov(
     approx_fg: bool = False,
     fg_weights: jax.Array | None = None,
     cov_pixels: int = 0,
+    cov_reuse: bool = False,
 ) -> tuple[VoteResult, jax.Array]:
     """Fused uncertainty decode: RANSAC vote + covariance in ONE program.
 
@@ -454,6 +463,18 @@ def ransac_vote_with_cov(
     the [T, vn, 2] gather run ONCE and feed both stages, instead of the two
     standalone entry points each re-selecting. Returns (VoteResult,
     cov [vn, 2, 2]).
+
+    `cov_reuse=True` skips the fresh covariance population entirely and
+    pools the vote rounds' own hypotheses + inlier ratios (which the
+    reference discards, ref ransac_voting_gpu.py:202-210 regenerates) into
+    the weighted-scatter estimate. The pooled pairs are drawn from the same
+    uniform pair distribution the fresh stage would draw, so the estimator
+    is unchanged; only its sample count differs — rounds actually run ×
+    num_hypotheses instead of cov_hypotheses. On the serving shapes this
+    removes the two dominant decode stages (hypothesis generation ~32 ms +
+    inlier counting 18–70 ms at batch 64). Accuracy-validated in the r4
+    ablation (un_pnp_reuse row). `cov_hypotheses`/`cov_pixels` are ignored
+    when set.
     """
     vn = vertex.shape[2]
     if fg_weights is not None:
@@ -479,40 +500,62 @@ def ransac_vote_with_cov(
         counts = _count_inliers(
             hyp, direct, coords, valid, inlier_thresh, hyp_chunk
         )
+        hyp_ratio = counts.astype(jnp.float32) / jnp.maximum(tv, 1)
         win_idx = jnp.argmax(counts, 0)
-        win_counts = jnp.take_along_axis(counts, win_idx[None], 0)[0]
+        win_ratio = jnp.take_along_axis(hyp_ratio, win_idx[None], 0)[0]
         win_pts = hyp[win_idx, jnp.arange(vn)]
-        return win_pts, win_counts.astype(jnp.float32) / jnp.maximum(tv, 1)
+        return win_pts, win_ratio, hyp, hyp_ratio
 
     def cond_fn(carry):
-        i, _, ratios = carry
+        i, _, ratios = carry[:3]
         conf = 1.0 - (1.0 - jnp.square(ratios)) ** (i * num_hypotheses)
         return (i < num_rounds) & (jnp.min(conf) < confidence)
 
     def body_fn(carry):
-        i, pts, ratios = carry
-        new_pts, new_ratios = one_round(jax.random.fold_in(k_hyp, i))
+        i, pts, ratios = carry[:3]
+        new_pts, new_ratios, hyp, hyp_ratio = one_round(
+            jax.random.fold_in(k_hyp, i)
+        )
         better = new_ratios > ratios
-        return (
+        out = (
             i + 1,
             jnp.where(better[:, None], new_pts, pts),
             jnp.maximum(new_ratios, ratios),
         )
+        if cov_reuse:
+            # pool this round's population; unwritten rounds stay at
+            # ratio 0 and fall outside the 0.1 weight window
+            buf_h = lax.dynamic_update_slice(
+                carry[3], hyp, (i * num_hypotheses, 0, 0))
+            buf_r = lax.dynamic_update_slice(
+                carry[4], hyp_ratio, (i * num_hypotheses, 0))
+            out = out + (buf_h, buf_r)
+        return out
 
-    _, win_pts, _ = jax.lax.while_loop(
-        cond_fn,
-        body_fn,
-        (jnp.int32(0), jnp.zeros((vn, 2), jnp.float32), jnp.zeros((vn,), jnp.float32)),
+    init = (
+        jnp.int32(0),
+        jnp.zeros((vn, 2), jnp.float32),
+        jnp.zeros((vn,), jnp.float32),
     )
+    if cov_reuse:
+        init = init + (
+            jnp.zeros((num_rounds * num_hypotheses, vn, 2), jnp.float32),
+            jnp.zeros((num_rounds * num_hypotheses, vn), jnp.float32),
+        )
+    carry = jax.lax.while_loop(cond_fn, body_fn, init)
+    win_pts = carry[1]
 
     refined, ratio = _refit(win_pts, direct, coords, valid, inlier_thresh)
     refined = jnp.where(enough, refined, 0.0)
     ratio = jnp.where(enough, ratio, 0.0)
-    cov = _cov_around_mean(
-        direct, coords, valid, tv, enough, refined, k_cov,
-        cov_hypotheses, inlier_thresh, max_pixels, hyp_chunk,
-        cov_pixels=cov_pixels,
-    )
+    if cov_reuse:
+        cov = _weighted_cov(carry[3], carry[4], refined, enough)
+    else:
+        cov = _cov_around_mean(
+            direct, coords, valid, tv, enough, refined, k_cov,
+            cov_hypotheses, inlier_thresh, max_pixels, hyp_chunk,
+            cov_pixels=cov_pixels,
+        )
     res = VoteResult(kpt_2d=refined, inlier_ratio=ratio, valid=enough,
                      mean=refined)
     return res, cov

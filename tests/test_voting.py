@@ -332,6 +332,54 @@ class TestFusedVoteWithCov:
         assert (ratio > 0.3).all() and (ratio < 3.0).all(), ratio
 
 
+    def test_cov_reuse_matches_fresh_population(self, rng):
+        # cov_reuse pools the vote rounds' own hypotheses/ratios instead of
+        # generating a fresh cov population; same estimator, different (and
+        # smaller) sample — vote result identical, covariance magnitude
+        # within sampling noise of the fresh-population estimate.
+        from clean_pvnet_tpu.ops.voting import ransac_vote_with_cov
+
+        mask, vertex, kpt = make_scene(rng, vn=2, blob=30)
+        noisy = vertex + rng.randn(*vertex.shape).astype(np.float32) * 0.08
+        noisy /= np.linalg.norm(noisy, axis=-1, keepdims=True) + 1e-9
+        noisy *= mask[..., None, None]
+        common = dict(num_hypotheses=256, num_rounds=4, max_pixels=512)
+        res_fresh, cov_fresh = ransac_vote_with_cov(
+            jnp.asarray(mask), jnp.asarray(noisy), jax.random.PRNGKey(3),
+            cov_hypotheses=1024, **common,
+        )
+        res_reuse, cov_reuse_ = ransac_vote_with_cov(
+            jnp.asarray(mask), jnp.asarray(noisy), jax.random.PRNGKey(3),
+            cov_reuse=True, **common,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_reuse.kpt_2d), np.asarray(res_fresh.kpt_2d),
+            rtol=1e-6, atol=1e-6)
+        tr_fresh = np.trace(np.asarray(cov_fresh), axis1=-2, axis2=-1)
+        tr_reuse = np.trace(np.asarray(cov_reuse_), axis1=-2, axis2=-1)
+        assert np.isfinite(tr_reuse).all()
+        ratio = tr_reuse / np.maximum(tr_fresh, 1e-9)
+        assert (ratio > 0.3).all() and (ratio < 3.0).all(), ratio
+
+    def test_cov_reuse_early_stop_rounds_excluded(self, rng):
+        # a perfect field converges in one round; the unwritten buffer
+        # rounds must not drag the pooled covariance toward the zero
+        # hypothesis at (0,0)
+        from clean_pvnet_tpu.ops.voting import ransac_vote_with_cov
+
+        mask, vertex, kpt = make_scene(rng, vn=3, blob=30)
+        res, cov = ransac_vote_with_cov(
+            jnp.asarray(mask), jnp.asarray(vertex), jax.random.PRNGKey(4),
+            num_hypotheses=128, num_rounds=8, max_pixels=512, cov_reuse=True,
+        )
+        assert bool(res.valid)
+        err = np.linalg.norm(np.asarray(res.kpt_2d) - kpt, axis=-1)
+        assert err.max() < 0.5, err
+        # point-mass population → tiny cov (would be ~|kpt|^2 if the zero
+        # rows leaked into the weight window)
+        assert np.abs(np.asarray(cov)).max() < 0.5
+
+
 class TestVotingDistribution:
     def test_covariance_reflects_noise(self, rng):
         mask, vertex, kpt = make_scene(rng, vn=2, blob=30)
