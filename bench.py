@@ -26,6 +26,11 @@ def main():
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--un_pnp", action="store_true")
+    parser.add_argument("--cov_reuse", action="store_true",
+                        help="un_pnp covariance from the pooled vote-round "
+                             "hypotheses instead of a fresh population "
+                             "(voting.cov_reuse; accuracy-validated in the "
+                             "r4 ablation un_pnp_reuse row)")
     parser.add_argument("--chunk", type=int, default=None,
                         help="sub-batch size streamed via lax.map inside the "
                              "jitted pipeline; lifts the batch-128 HBM "
@@ -49,7 +54,9 @@ def main():
     # into the 2048-pixel subsample — an unbiased ratio estimate with ~2%
     # noise, measured accuracy-neutral (ablation_r03.json) and 1.5× faster
     # on the un_pnp decode (see config.VotingConfig.cov_pixels).
-    cfg = Config().with_overrides({"voting.cov_pixels": 2048})
+    cfg = Config().with_overrides(
+        {"voting.cov_pixels": 2048, "voting.cov_reuse": args.cov_reuse}
+    )
     rng = np.random.RandomState(0)
 
     if args.cascade:

@@ -103,6 +103,14 @@ def main():
         ("standard_rounds20", {"voting.num_rounds": 20}, False, "test"),
         ("un_pnp_8192px", {}, True, "test"),
         ("un_pnp_30720px", {"voting.un_max_pixels": 30720}, True, "test"),
+        # covariance from the pooled vote-round hypotheses (no fresh cov
+        # population — the r4 serving fast path; ops/voting.cov_reuse).
+        # rounds 20 adaptive so unconverged frames pool a larger sample
+        ("un_pnp_reuse",
+         {"voting.cov_reuse": True, "voting.num_rounds": 20}, True, "test"),
+        ("occ_unpnp_reuse",
+         {"voting.cov_reuse": True, "voting.num_rounds": 20}, True,
+         "occlusion"),
         # held-out appearance (unseen background family + photometrics) —
         # the external-validity row for the headline ADD (VERDICT r3
         # weak 8): same object, shifted domain
