@@ -129,6 +129,19 @@ def main():
     out["full_cov_decode_covpix2048_ms"] = round(
         timeit(full_sub, mask, vertex, keys, iters=max(2, args.iters // 2)), 2)
 
+    # r4 serving fast path: pooled vote-round covariance (no fresh
+    # population) + approx_max_k foreground selection
+    full_reuse = jax.jit(jax.vmap(partial(
+        ransac_vote_with_cov, cov_reuse=True, num_rounds=20)))
+    out["full_cov_decode_reuse_ms"] = round(
+        timeit(full_reuse, mask, vertex, keys, iters=max(2, args.iters // 2)),
+        2)
+    full_srv = jax.jit(jax.vmap(partial(
+        ransac_vote_with_cov, cov_reuse=True, num_rounds=20, approx_fg=True)))
+    out["full_cov_decode_serving_r4_ms"] = round(
+        timeit(full_srv, mask, vertex, keys, iters=max(2, args.iters // 2)),
+        2)
+
     print(json.dumps(out))
 
 
