@@ -111,6 +111,12 @@ def main():
         ("occ_unpnp_reuse",
          {"voting.cov_reuse": True, "voting.num_rounds": 20}, True,
          "occlusion"),
+        # the FULL r4 serving config as one validated unit: pooled
+        # covariance + approx_max_k foreground selection (fg_approx was
+        # accuracy-neutral standalone in ablation_r03)
+        ("un_pnp_serving_r4",
+         {"voting.cov_reuse": True, "voting.num_rounds": 20,
+          "voting.approx_fg": True}, True, "test"),
         # held-out appearance (unseen background family + photometrics) —
         # the external-validity row for the headline ADD (VERDICT r3
         # weak 8): same object, shifted domain
@@ -151,6 +157,15 @@ def main():
         # confidence-gated ICP (VERDICT r3 item 3): refine ONLY frames
         # whose mean inlier ratio is below the gate — a no-op where the
         # decode is already converged, active on the hard (occluded) tail
+        # the domain split is the one place this benchmark reaches the
+        # reference's ICP regime — genuinely degraded poses (appearance
+        # shift) with clean observed depth. The gate refines only the
+        # low-confidence tail.
+        ("domain_unpnp_icp",
+         {"test.icp": True, "voting.num_rounds": 20}, True, "domain"),
+        ("domain_unpnp_icp_gated",
+         {"test.icp": True, "test.icp_gate_inlier": 0.7,
+          "voting.num_rounds": 20}, True, "domain"),
         ("unpnp_icp_gated",
          {"test.icp": True, "test.icp_gate_inlier": 0.7}, True, "test"),
         ("occ_unpnp_icp_gated",
