@@ -117,6 +117,12 @@ def main():
         ("un_pnp_serving_r4",
          {"voting.cov_reuse": True, "voting.num_rounds": 20,
           "voting.approx_fg": True}, True, "test"),
+        # cmd5-mitigation probe for cov_reuse: a 1024-hypothesis vote stage
+        # doubles the pooled covariance sample on converged (1-round)
+        # frames at ~10 ms/batch extra
+        ("un_pnp_reuse_1024",
+         {"voting.cov_reuse": True, "voting.num_rounds": 20,
+          "voting.un_hypotheses": 1024}, True, "test"),
         # held-out appearance (unseen background family + photometrics) —
         # the external-validity row for the headline ADD (VERDICT r3
         # weak 8): same object, shifted domain
