@@ -31,6 +31,14 @@ def main():
                              "hypotheses instead of a fresh population "
                              "(voting.cov_reuse; accuracy-validated in the "
                              "r4 ablation un_pnp_reuse row)")
+    parser.add_argument("--un_hyp", type=int, default=None,
+                        help="vote-stage hypothesis count override (the "
+                             "cov_reuse serving config uses 1024 to "
+                             "recover cmd5; ablation un_pnp_reuse_1024)")
+    parser.add_argument("--approx_fg", action="store_true",
+                        help="approx_max_k foreground selection (uniform "
+                             "subset; accuracy-neutral per ablation_r03 "
+                             "fg_approx rows)")
     parser.add_argument("--chunk", type=int, default=None,
                         help="sub-batch size streamed via lax.map inside the "
                              "jitted pipeline; lifts the batch-128 HBM "
@@ -55,7 +63,9 @@ def main():
     # noise, measured accuracy-neutral (ablation_r03.json) and 1.5× faster
     # on the un_pnp decode (see config.VotingConfig.cov_pixels).
     cfg = Config().with_overrides(
-        {"voting.cov_pixels": 2048, "voting.cov_reuse": args.cov_reuse}
+        {"voting.cov_pixels": 2048, "voting.cov_reuse": args.cov_reuse,
+         "voting.approx_fg": args.approx_fg,
+         **({"voting.un_hypotheses": args.un_hyp} if args.un_hyp else {})}
     )
     rng = np.random.RandomState(0)
 
