@@ -169,6 +169,13 @@ class TrainConfig:
     # ships cached raw uint8 frames. For CPU-poor TPU hosts; requires a
     # single bucket equal to the source resolution.
     device_augment: bool = False
+    # train-time domain randomization, on device (augment_device.py):
+    # probability per sample of replacing the background with a procedural
+    # family (solid/plaid/blocks/gradient), and of applying the wide
+    # photometric shift (gain/cast/gamma/3x noise). Both 0 = reference
+    # -equivalent augmentation family.
+    bg_randomize: float = 0.0
+    wide_photometric: float = 0.0
     # optional torch `.pth` to initialize from: a torchvision ImageNet
     # resnet18 state dict (backbone-only, the reference's pretrained init,
     # ref lib/networks/pvnet/resnet.py:223-232) or a full reference PVNet

@@ -278,6 +278,87 @@ def affine_sample_nearest(img, A_inv, out_hw, fill=0):
     return jnp.where(valid, v, fill)
 
 
+def randomize_background_device(key, img, mask, p):
+    """Train-time background domain randomization, fully on device.
+
+    With probability `p` per sample, replace the background pixels
+    (mask == 0) of the warped float image [B,h,w,3] in [0,255] with a
+    procedurally drawn background. Families (per-sample uniform):
+      0. solid random color
+      1. hard-edge two-color plaid (thresholded oriented sinusoid —
+         hard-boundary periodic structure)
+      2. blocky random noise (8×8 cells)
+      3. linear two-color gradient at a random angle
+    All pure iota/elementwise math + one tiny per-cell uniform tensor —
+    no HBM gathers. Runs BEFORE the gaussian blur so composite edges get
+    the same sensor blur as the rest of the frame (the same ordering the
+    tless cut-paste pathway uses).
+
+    Scope note for honest evals: the held-out `domain` stress split draws
+    from a *different* generator (hard checkerboards / floor-division
+    stripes / solids + photometric shifts, data/synthetic.py
+    `_domain_background`); the solid family overlaps in character, the
+    periodic families differ in construction. See ROUND4.md item 10.
+    """
+    b, h, w, _ = img.shape
+    k_apply, k_fam, k_ca, k_cb, k_ang, k_per, k_ph, k_cell = (
+        jax.random.split(key, 8)
+    )
+    apply = jax.random.uniform(k_apply, (b,)) < p
+    fam = jax.random.randint(k_fam, (b,), 0, 4)
+    col_a = jax.random.uniform(k_ca, (b, 1, 1, 3), maxval=255.0)
+    col_b = jax.random.uniform(k_cb, (b, 1, 1, 3), maxval=255.0)
+    ang = jax.random.uniform(k_ang, (b, 1, 1), maxval=jnp.pi)
+    period = jax.random.uniform(k_per, (b, 1, 1), minval=16.0, maxval=96.0)
+    phase = jax.random.uniform(k_ph, (b, 1, 1), maxval=2 * jnp.pi)
+
+    xs = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 2)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 1)
+    t = xs * jnp.cos(ang) + ys * jnp.sin(ang)  # [b, h, w]
+
+    plaid_m = (jnp.sin(2 * jnp.pi * t / period + phase) > 0.0)
+    plaid = jnp.where(plaid_m[..., None], col_a, col_b)
+
+    grad_m = jnp.clip((t - jnp.min(t, (1, 2), keepdims=True))
+                      / (jnp.max(t, (1, 2), keepdims=True)
+                         - jnp.min(t, (1, 2), keepdims=True) + 1e-6),
+                      0.0, 1.0)
+    grad = grad_m[..., None] * col_a + (1.0 - grad_m[..., None]) * col_b
+
+    cell = jax.random.uniform(
+        k_cell, (b, (h + 7) // 8, (w + 7) // 8, 3), maxval=255.0
+    )
+    blocks = jnp.repeat(jnp.repeat(cell, 8, 1), 8, 2)[:, :h, :w]
+
+    fam_b = fam[:, None, None, None]
+    bg = jnp.where(fam_b == 0, col_a,
+                   jnp.where(fam_b == 1, plaid,
+                             jnp.where(fam_b == 2, blocks, grad)))
+    replace = apply[:, None, None, None] & (mask[..., None] == 0)
+    return jnp.where(replace, bg, img)
+
+
+def wide_photometric_device(key, img, p):
+    """Wide photometric augmentation: with probability `p` per sample,
+    apply gain U(0.6,1.4) × per-channel cast U(0.85,1.15), gamma
+    U(0.7,1.3), and 3× the base sensor noise — the appearance-shift axes
+    the held-out domain split stresses (data/synthetic.py domain
+    photometrics; matching the RANGES is standard photometric
+    augmentation, and the domain split stays held-out in its background
+    generator and concrete draws). img float [B,h,w,3] in [0,255]."""
+    b = img.shape[0]
+    k_apply, k_gain, k_cast, k_gamma, k_noise = jax.random.split(key, 5)
+    apply = (jax.random.uniform(k_apply, (b,)) < p)[:, None, None, None]
+    gain = jax.random.uniform(k_gain, (b, 1, 1, 1), minval=0.6, maxval=1.4)
+    cast = jax.random.uniform(k_cast, (b, 1, 1, 3), minval=0.85, maxval=1.15)
+    gamma = jax.random.uniform(k_gamma, (b, 1, 1, 1), minval=0.7, maxval=1.3)
+    y = jnp.clip(img / 255.0 * gain * cast, 0.0, 1.0)
+    y = jnp.power(jnp.maximum(y, 1e-6), gamma)
+    y = y + jax.random.normal(k_noise, img.shape) * 0.03
+    y = jnp.clip(y, 0.0, 1.0) * 255.0
+    return jnp.where(apply, y, img)
+
+
 def color_jitter_device(key, img):
     """Fused ColorJitter(0.1, 0.1, 0.05, 0.05) on float [B,H,W,3] in
     [0,255]; identical formulation to the host fast path
@@ -344,7 +425,7 @@ def augment_batch_device(key, img_u8, mask, kpt_2d, train_cfg, out_hw=None):
     """
     bsz, h, w = img_u8.shape[:3]
     out_hw = (h, w) if out_hw is None else out_hw
-    k_aff, k_blur, k_jit = jax.random.split(key, 3)
+    k_aff, k_blur, k_jit, k_bg, k_photo = jax.random.split(key, 5)
 
     affs = jax.vmap(lambda kk, m: sample_affine(kk, m, out_hw, train_cfg))(
         jax.random.split(k_aff, bsz), mask
@@ -359,7 +440,13 @@ def augment_batch_device(key, img_u8, mask, kpt_2d, train_cfg, out_hw=None):
         "bij,bkj->bki", A_fwd, jnp.concatenate([kpt_2d, ones], -1)
     )
 
+    bg_p = float(getattr(train_cfg, "bg_randomize", 0.0))
+    if bg_p > 0.0:
+        img = randomize_background_device(k_bg, img, mask_w, bg_p)
     img = gaussian_blur_device(k_blur, img)
     img = color_jitter_device(k_jit, img)
+    photo_p = float(getattr(train_cfg, "wide_photometric", 0.0))
+    if photo_p > 0.0:
+        img = wide_photometric_device(k_photo, img, photo_p)
     inp = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     return inp, mask_w, kpt_w

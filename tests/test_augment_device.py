@@ -18,8 +18,10 @@ from clean_pvnet_tpu.data.augment_device import (
     augment_batch_device,
     color_jitter_device,
     gaussian_blur_device,
+    randomize_background_device,
     sample_affine,
     warp_rgb_mask_packed,
+    wide_photometric_device,
 )
 from clean_pvnet_tpu.utils.image import (
     gaussian_blur,
@@ -84,6 +86,60 @@ class TestPackedWarp:
                 jnp.asarray(img), jnp.asarray(mask), Ai, (h, w))
             np.testing.assert_array_equal(np.asarray(got_img), np.asarray(ref_img))
             assert (np.asarray(got_m) != np.asarray(ref_m)).mean() < 0.01
+
+
+class TestDomainRandomization:
+    def test_bg_replaces_only_background(self, rng):
+        b, h, w = 4, 32, 48
+        img = jnp.asarray((rng.rand(b, h, w, 3) * 255).astype(np.float32))
+        mask = jnp.asarray((rng.rand(b, h, w) > 0.5).astype(np.int32))
+        out = randomize_background_device(
+            jax.random.PRNGKey(0), img, mask, p=1.0)
+        fg = np.asarray(mask)[..., None].astype(bool)
+        np.testing.assert_array_equal(
+            np.asarray(out)[np.broadcast_to(fg, out.shape)],
+            np.asarray(img)[np.broadcast_to(fg, img.shape)])
+        # backgrounds actually changed for (almost) every sample
+        bg_changed = [
+            np.abs(np.asarray(out)[i][~fg[i, ..., 0]]
+                   - np.asarray(img)[i][~fg[i, ..., 0]]).max() > 1.0
+            for i in range(b)
+        ]
+        assert all(bg_changed), bg_changed
+
+    def test_bg_p_zero_is_identity(self, rng):
+        b, h, w = 2, 16, 24
+        img = jnp.asarray((rng.rand(b, h, w, 3) * 255).astype(np.float32))
+        mask = jnp.zeros((b, h, w), jnp.int32)
+        out = randomize_background_device(
+            jax.random.PRNGKey(1), img, mask, p=0.0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+    def test_wide_photometric_range_and_identity(self, rng):
+        b, h, w = 4, 16, 24
+        img = jnp.asarray((rng.rand(b, h, w, 3) * 255).astype(np.float32))
+        out = wide_photometric_device(jax.random.PRNGKey(2), img, p=1.0)
+        o = np.asarray(out)
+        assert o.min() >= 0.0 and o.max() <= 255.0
+        assert np.abs(o - np.asarray(img)).mean() > 1.0  # actually shifted
+        same = wide_photometric_device(jax.random.PRNGKey(2), img, p=0.0)
+        np.testing.assert_array_equal(np.asarray(same), np.asarray(img))
+
+    def test_batch_augment_with_domain_flags(self, rng):
+        from clean_pvnet_tpu.config import Config
+
+        cfg = Config().with_overrides(
+            {"train.bg_randomize": 0.5, "train.wide_photometric": 0.5}
+        ).train
+        b, h, w = 2, 64, 96
+        img = jnp.asarray((rng.rand(b, h, w, 3) * 255).astype(np.uint8))
+        mask = np.zeros((b, h, w), np.uint8)
+        mask[:, 20:44, 30:66] = 1
+        kpt = jnp.asarray((rng.rand(b, 9, 2) * 40 + 25).astype(np.float32))
+        inp, m, k = augment_batch_device(
+            jax.random.PRNGKey(3), img, jnp.asarray(mask), kpt, cfg)
+        assert inp.shape == (b, h, w, 3) and m.shape == (b, h, w)
+        assert np.isfinite(np.asarray(inp)).all()
 
 
 class TestSampleAffine:

@@ -71,6 +71,10 @@ def main():
     ap.add_argument("--params", default=None,
                     help="float16 params npz (tools/export_params_f16.py) "
                          "to evaluate instead of the orbax checkpoint")
+    ap.add_argument("--ckpt_dir", default=None,
+                    help="checkpoint directory (default <root>/ckpt) — "
+                         "evaluate a fine-tune variant without touching "
+                         "the base campaign checkpoints")
     args = ap.parse_args()
 
     from clean_pvnet_tpu.config import Config
@@ -203,7 +207,7 @@ def main():
         print(f"loaded params from {args.params}")
     else:
         state, epoch = CheckpointIO(
-            os.path.join(args.root, "ckpt")).restore(state)
+            args.ckpt_dir or os.path.join(args.root, "ckpt")).restore(state)
         if epoch < 0:
             raise SystemExit(
                 f"no checkpoint under {args.root}/ckpt — train first")

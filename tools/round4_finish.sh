@@ -17,7 +17,11 @@ bench_to() { # bench_to <outfile> <args...>
 }
 
 note "ablation_r04"
+# the r4-relevant rows (trunc / ICP-gate / domain / serving fast path +
+# headline anchors); the fg 4-way and pixel-budget variants were measured
+# in ablation_r03 on an unchanged decode
 timeout 3600 python -u tools/eval_ablations.py --root data/synth_r4 \
+  --only standard_128px,un_pnp_8192px,un_pnp_reuse,un_pnp_serving_r4,domain_standard,domain_unpnp,occ_standard,occ_unpnp_rounds20,occ_unpnp_reuse,trunc_standard,trunc_projective,un_pnp_icp,unpnp_icp_gated,occ_unpnp_icp,occ_unpnp_icp_gated \
   --out data/record/ablation_r04.json >> "$LOG" 2>&1
 
 note "voting stage profile"
@@ -36,7 +40,7 @@ note "bench standard b128"
 bench_to BENCH_r04_standard.json --batch 128 --iters 12
 
 note "multiclass campaign"
-timeout 7200 python -u tools/train_multiclass_tpu.py --steps 20000 \
+timeout 7200 python -u tools/train_multiclass_tpu.py --steps 16000 \
   >> "$LOG" 2>&1
 
 note "multiclass iso-noise ceilings"

@@ -64,6 +64,16 @@ def main():
                          "of --epochs); wall-clock-limited runs converge "
                          "faster with early decays")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--bg_randomize", type=float, default=0.0,
+                    help="per-sample probability of on-device background "
+                         "domain randomization (train.bg_randomize)")
+    ap.add_argument("--wide_photometric", type=float, default=0.0,
+                    help="per-sample probability of the wide photometric "
+                         "shift (train.wide_photometric)")
+    ap.add_argument("--ckpt_dir", default=None,
+                    help="checkpoint directory (default <root>/ckpt); use "
+                         "a separate dir for fine-tune variants so the "
+                         "base campaign checkpoints stay addressable")
     ap.add_argument("--extra_train_json", nargs="*", default=None,
                     help="additional COCO-style train jsons merged into the "
                          "training set (e.g. a truncation-augmented split); "
@@ -150,6 +160,8 @@ def main():
             # 2-core host cannot feed the chip with host-side augmentation;
             # run the full augmentation inside the jitted step instead
             "train.device_augment": not args.host_augment,
+            "train.bg_randomize": args.bg_randomize,
+            "train.wide_photometric": args.wide_photometric,
         }
     )
     model = make_network(cfg)
@@ -250,7 +262,7 @@ def main():
         print(f"[{tag}]", m)
         return m
 
-    ckpt = CheckpointIO(os.path.join(args.root, "ckpt"))
+    ckpt = CheckpointIO(args.ckpt_dir or os.path.join(args.root, "ckpt"))
     begin_epoch = -1
     if args.init_from:
         # warm start: weights from another run, fresh schedule + optimizer
