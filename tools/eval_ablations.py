@@ -206,11 +206,10 @@ def main():
         epoch = -1
         print(f"loaded params from {args.params}")
     else:
-        state, epoch = CheckpointIO(
-            args.ckpt_dir or os.path.join(args.root, "ckpt")).restore(state)
+        ckpt_dir = args.ckpt_dir or os.path.join(args.root, "ckpt")
+        state, epoch = CheckpointIO(ckpt_dir).restore(state)
         if epoch < 0:
-            raise SystemExit(
-                f"no checkpoint under {args.root}/ckpt — train first")
+            raise SystemExit(f"no checkpoint under {ckpt_dir} — train first")
         print(f"restored epoch {epoch}")
 
     results = {

@@ -83,6 +83,12 @@ def main():
                          "batch_stats; step reset to 0 and a fresh "
                          "optimizer state — the fine-tune pathway)")
     args = ap.parse_args()
+    if args.host_augment and (args.bg_randomize > 0 or args.wide_photometric > 0):
+        # these two run inside augment_batch_device only; a host-augment run
+        # would silently train without the domain randomization it claims
+        raise SystemExit(
+            "--bg_randomize/--wide_photometric require the device-augment "
+            "path; drop --host_augment (ADVICE r4)")
     enable_compilation_cache()
 
     hw = tuple(args.hw)
@@ -264,6 +270,13 @@ def main():
 
     ckpt = CheckpointIO(args.ckpt_dir or os.path.join(args.root, "ckpt"))
     begin_epoch = -1
+    if args.init_from and not args.fresh:
+        # a watchdog restart of a warm-started fine-tune must RESUME the
+        # fine-tune's own checkpoints, not re-warm-start from scratch
+        state_r, begin_epoch = ckpt.restore(state)
+        if begin_epoch >= 0:
+            state = state_r
+            args.init_from = None
     if args.init_from:
         # warm start: weights from another run, fresh schedule + optimizer
         src = CheckpointIO(args.init_from)
