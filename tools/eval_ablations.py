@@ -181,6 +181,19 @@ def main():
         ("occ_unpnp_icp_gated",
          {"test.icp": True, "test.icp_gate_inlier": 0.7,
           "voting.num_rounds": 20}, True, "occlusion"),
+        # accept-on-improvement gate (VERDICT r4 item 3): refine every
+        # frame, keep the refined pose only if the point-to-model depth
+        # residual drops. Goal: capture the full ungated domain win
+        # (icp_add 0.506) while the in-domain rows stay at the decode's
+        # 0.98 (no inlier-ratio miscalibration dependence).
+        ("domain_unpnp_icp_improve",
+         {"test.icp": True, "test.icp_accept_improve": True,
+          "voting.num_rounds": 20}, True, "domain"),
+        ("unpnp_icp_improve",
+         {"test.icp": True, "test.icp_accept_improve": True}, True, "test"),
+        ("occ_unpnp_icp_improve",
+         {"test.icp": True, "test.icp_accept_improve": True,
+          "voting.num_rounds": 20}, True, "occlusion"),
     ]
     if args.only:
         keep = set(args.only.split(","))
@@ -239,7 +252,8 @@ def main():
 
             try:
                 icp_refiner = make_linemod_refiner(
-                    mesh_ply["pts"], mesh_ply["faces"], cfg.test.icp_render_hw
+                    mesh_ply["pts"], mesh_ply["faces"], cfg.test.icp_render_hw,
+                    accept_improve=cfg.test.icp_accept_improve,
                 )
             except (ValueError, KeyError) as e:
                 # e.g. a faceless .ply: skip the ICP row instead of aborting
@@ -252,6 +266,9 @@ def main():
         t0 = time.time()
         m = run_split(cfg, model, state, pipeline, evaluator, loader)
         m["eval_seconds"] = round(time.time() - t0, 1)
+        if icp_refiner is not None and cfg.test.icp_accept_improve:
+            m["icp_accepted"] = icp_refiner.accepted
+            m["icp_rejected"] = icp_refiner.rejected
         m["decode"] = {"un_pnp": un_pnp, "split": split, **overrides}
         results["ablations"][name] = m
         print(f"[{name}] {m}", flush=True)

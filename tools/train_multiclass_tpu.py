@@ -58,18 +58,19 @@ def _gen_one(root_i_seed):
 
 def ensure_data(root, n_classes, workers=2):
     meta_path = os.path.join(root, "meta_multiclass.json")
+    metas = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            return json.load(f)
+            metas = json.load(f)
+    missing = [i for i in range(n_classes) if class_name(i) not in metas]
+    if not missing:
+        return metas
     import multiprocessing as mp
 
     os.makedirs(root, exist_ok=True)
-    metas = {}
     ctx = mp.get_context("spawn")
     with ctx.Pool(workers) as p:
-        for i, m in p.imap_unordered(
-            _gen_one, [(root, i) for i in range(n_classes)]
-        ):
+        for i, m in p.imap_unordered(_gen_one, [(root, i) for i in missing]):
             metas[class_name(i)] = m
             print(f"[gen] {class_name(i)} done in {m['seconds']}s",
                   flush=True)
@@ -184,6 +185,28 @@ def train_class(args, mesh, cls, meta):
     res["final_loss"] = float(stats["loss"])
     res["train_seconds"] = round(train_s, 1)
     res["steps"] = args.steps
+
+    if args.un_pnp_row:
+        # per-class serving-decode row (VERDICT r4 item 9 "per-class decode
+        # configs"): the r4 recommended config — pooled-covariance un_pnp
+        # with 20 adaptive rounds — validated on every class, next to the
+        # standard decode
+        cfg_u = cfg.with_overrides(
+            {"voting.cov_reuse": True, "voting.num_rounds": 20}
+        )
+        pipeline_u = InferencePipeline(cfg_u, model, kpt_3d, un_pnp=True)
+        eval_u = LinemodEvaluator(cfg_u, mesh_ply["pts"], meta["diameter"],
+                                  cls_type=cls)
+        for i, batch in enumerate(loader):
+            K = jnp.asarray(np.stack([np.asarray(m["ann"]["K"], np.float32)
+                                      for m in batch["meta"]]))
+            out = pipeline_u(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                jnp.asarray(batch["inp"]), K, jax.random.PRNGKey(i),
+            )
+            eval_u.evaluate(out, batch)
+        res["un_pnp_reuse"] = eval_u.summarize()
+
     print(f"[{cls}] {res}", flush=True)
     return res
 
@@ -197,6 +220,13 @@ def main():
     ap.add_argument("--scan", type=int, default=200)
     ap.add_argument("--out", default="data/record/multiclass_r04.json")
     ap.add_argument("--generate_only", action="store_true")
+    ap.add_argument("--un_pnp_row", action="store_true",
+                    help="also evaluate each class with the serving decode "
+                         "(cov_reuse un_pnp, 20 rounds) — per-class decode "
+                         "config validation")
+    ap.add_argument("--start_class", type=int, default=0,
+                    help="skip classes below this index (resume an "
+                         "interrupted campaign; merge records by hand)")
     args = ap.parse_args()
 
     metas = ensure_data(args.root, args.classes)
@@ -211,7 +241,11 @@ def main():
     mesh = make_mesh(num_devices=1)
     t0 = time.time()
     record = {"config": vars(args), "hw": list(HW), "classes": {}}
-    for i in range(args.classes):
+    if args.start_class and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        record["classes"].update(prior.get("classes", {}))
+    for i in range(args.start_class, args.classes):
         cls = class_name(i)
         record["classes"][cls] = train_class(args, mesh, cls, metas[cls])
         # checkpoint the record incrementally
