@@ -142,6 +142,57 @@ def main():
         timeit(full_srv, mask, vertex, keys, iters=max(2, args.iters // 2)),
         2)
 
+    # ---- serving-path remainder (un_pnp roofline, VERDICT r4 item 5) ----
+    # after cov_reuse the program is: select_fg + R vote rounds (rolled
+    # gen 512 + count 512×T) + refit + pooled-cov einsum + weighted LM.
+    # Profile each piece at the exact serving shapes so the remaining ms
+    # can be checked against hardware bounds stage by stage.
+    from clean_pvnet_tpu.geometry.pnp import solve_pnp_uncertainty
+    from clean_pvnet_tpu.ops.voting import (
+        _count_inliers,
+        _refit,
+        _weighted_cov,
+    )
+
+    sel_a = jax.jit(jax.vmap(partial(select_foreground, max_pixels=t,
+                                     approx=True)))
+    out["select_fg_approx_ms"] = round(
+        timeit(sel_a, mask, keys, iters=args.iters), 2)
+
+    hyp512 = jnp.asarray(rng.randn(b, 512, vn, 2).astype(np.float32)) * 50.0
+    cnt = jax.jit(jax.vmap(lambda d, c, v, hh: _count_inliers(
+        hh, d, c, v, 0.99, 0)))
+    out["count_512_ms"] = round(
+        timeit(cnt, direct, coords, valid, hyp512, iters=args.iters), 2)
+
+    tvs_b = jnp.sum(valid, -1).astype(jnp.int32)
+    gen512 = jax.jit(jax.vmap(partial(generate_hypotheses_rolled,
+                                      num_hypotheses=512)))
+    out["gen_hyp_rolled_512_ms"] = round(
+        timeit(gen512, direct, coords, tvs_b, keys, iters=args.iters), 2)
+
+    win = jnp.asarray(rng.rand(b, vn, 2).astype(np.float32)) * 100.0
+    reft = jax.jit(jax.vmap(lambda d, c, v, wp: _refit(wp, d, c, v, 0.99)))
+    out["refit_ms"] = round(
+        timeit(reft, direct, coords, valid, win, iters=args.iters), 2)
+
+    pooled_h = jnp.asarray(
+        rng.randn(b, 20 * 512, vn, 2).astype(np.float32)) * 50.0
+    pooled_r = jnp.asarray(rng.rand(b, 20 * 512, vn).astype(np.float32))
+    wcov = jax.jit(jax.vmap(lambda hh, rr, mm: _weighted_cov(
+        hh, rr, mm, jnp.bool_(True))))
+    out["pooled_cov_10240_ms"] = round(
+        timeit(wcov, pooled_h, pooled_r, win, iters=args.iters), 2)
+
+    pts3d = jnp.asarray(rng.randn(vn, 3).astype(np.float32) * 0.05)
+    Kmat = jnp.asarray(np.array([[572.4, 0, 320], [0, 573.6, 240],
+                                 [0, 0, 1]], np.float32))
+    covs = jnp.broadcast_to(jnp.eye(2) * 4.0, (b, vn, 2, 2))
+    pnp = jax.jit(jax.vmap(lambda p2, cv: solve_pnp_uncertainty(
+        pts3d, p2, cv, Kmat)))
+    out["lm_pnp_30it_ms"] = round(
+        timeit(pnp, win * 4.0, covs, iters=args.iters), 2)
+
     print(json.dumps(out))
 
 
