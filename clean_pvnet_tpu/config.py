@@ -128,6 +128,12 @@ class PnPConfig:
     lm_lambda_init: float = 1e-3
     lm_lambda_up: float = 10.0
     lm_lambda_down: float = 0.1
+    # un_pnp weight form: full 2×2 inverse-sqrt covariance (the reference's
+    # uncertainty_pnp, default) vs one isotropic 1/λ_max weight per keypoint
+    # (the reference's uncertainty_pnp_v2, ref un_pnp_utils.py:60-121).
+    # Scalar weights drop the covariance's ORIENTATION, keeping only its
+    # scale — a decode-time probe for the correlated-field cmd5 mode.
+    scalar_weights: bool = False
 
 
 @dataclass(frozen=True)

@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 
 from clean_pvnet_tpu.config import Config
-from clean_pvnet_tpu.geometry.pnp import solve_pnp, solve_pnp_uncertainty
+from clean_pvnet_tpu.geometry.pnp import (
+    solve_pnp,
+    solve_pnp_uncertainty,
+    solve_pnp_uncertainty_scalar,
+)
 from clean_pvnet_tpu.models.pvnet import decode_keypoints
 
 
@@ -98,8 +102,10 @@ class InferencePipeline:
                     )
                 )(dec["kpt_2d"], wgt, K)
             elif un_pnp:
+                solver = (solve_pnp_uncertainty_scalar
+                          if cfg.pnp.scalar_weights else solve_pnp_uncertainty)
                 pose = jax.vmap(
-                    lambda k2, var, k: solve_pnp_uncertainty(
+                    lambda k2, var, k: solver(
                         kpt_3d, k2, var, k, iters=lm_iters
                     )
                 )(dec["kpt_2d"], dec["var"], K)

@@ -194,6 +194,17 @@ def main():
         ("occ_unpnp_icp_improve",
          {"test.icp": True, "test.icp_accept_improve": True,
           "voting.num_rounds": 20}, True, "occlusion"),
+        # cmd5 decode-time probe (VERDICT r4 item 6b): scalar 1/λ_max
+        # weights (the reference's uncertainty_pnp_v2) — keeps the
+        # covariance's scale, drops its orientation. If the full-2×2 rows'
+        # cmd5 deficit vs the standard decode comes from noisy covariance
+        # ORIENTATIONS amplifying the correlated rotation mode, this row
+        # recovers it.
+        ("un_pnp_scalar",
+         {"pnp.scalar_weights": True}, True, "test"),
+        ("un_pnp_reuse_scalar",
+         {"pnp.scalar_weights": True, "voting.cov_reuse": True,
+          "voting.num_rounds": 20}, True, "test"),
     ]
     if args.only:
         keep = set(args.only.split(","))
