@@ -214,6 +214,12 @@ class TestConfig:
     # honest where a self-consistently wrong vertex field keeps voting
     # confidence high (the appearance-shift regime; VERDICT r4 item 3).
     icp_accept_improve: bool = False
+    # proportional margin for the accept-on-improvement gate: keep the
+    # refined pose only when residual_refined < margin × residual_initial.
+    # 1.0 = any improvement; <1 demands a substantial drop, rejecting the
+    # depth-consistent-but-wrong micro-improvements ICP finds around
+    # already-converged poses.
+    icp_improve_margin: float = 1.0
     det_gt: bool = False
     vsd: bool = False
     vsd_tau: float = 20.0

@@ -212,7 +212,8 @@ class ICPRefiner:
 
 
 def make_linemod_refiner(verts, faces, hw, n_points: int = 2048,
-                         accept_improve: bool = False):
+                         accept_improve: bool = False,
+                         improve_margin: float = 1.0):
     """Adapter with the LinemodEvaluator's refiner contract
     (pose_pred, ann, mask_pred, K) → refined pose, implementing the
     reference's eval-time ICP (ref lib/evaluators/linemod/pvnet.py:102-116):
@@ -257,11 +258,16 @@ def make_linemod_refiner(verts, faces, hw, n_points: int = 2048,
             # reads the DEPTH evidence, which stays honest when a
             # self-consistently wrong vertex field keeps voting confidence
             # high under appearance shift.
+            # `improve_margin < 1` demands a PROPORTIONAL residual drop:
+            # a converged pose refined onto a depth-consistent-but-wrong
+            # nearby fit only shaves the residual marginally, while a
+            # genuinely bad pose pulled onto the object drops it severalfold
+            # — the margin separates the two regimes.
             Kf = np.asarray(K, np.float32)
             kr = jax.random.PRNGKey(1_000_000 + counter[0])
             r0 = float(refiner.residual(pose_pred, depth, Kf, kr))
             r1 = float(refiner.residual(np.asarray(refined), depth, Kf, kr))
-            if not (r1 < r0):
+            if not (r1 < improve_margin * r0):
                 refine.rejected += 1
                 return pose_pred
             refine.accepted += 1

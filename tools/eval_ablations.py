@@ -205,6 +205,20 @@ def main():
         ("un_pnp_reuse_scalar",
          {"pnp.scalar_weights": True, "voting.cov_reuse": True,
           "voting.num_rounds": 20}, True, "test"),
+        # margin-gated accept-on-improvement: require a 30% proportional
+        # residual drop, separating genuine re-fits (bad pose → object)
+        # from depth-consistent micro-slides around converged poses
+        ("domain_unpnp_icp_improve07",
+         {"test.icp": True, "test.icp_accept_improve": True,
+          "test.icp_improve_margin": 0.7,
+          "voting.num_rounds": 20}, True, "domain"),
+        ("unpnp_icp_improve07",
+         {"test.icp": True, "test.icp_accept_improve": True,
+          "test.icp_improve_margin": 0.7}, True, "test"),
+        ("occ_unpnp_icp_improve07",
+         {"test.icp": True, "test.icp_accept_improve": True,
+          "test.icp_improve_margin": 0.7,
+          "voting.num_rounds": 20}, True, "occlusion"),
     ]
     if args.only:
         keep = set(args.only.split(","))
@@ -265,6 +279,7 @@ def main():
                 icp_refiner = make_linemod_refiner(
                     mesh_ply["pts"], mesh_ply["faces"], cfg.test.icp_render_hw,
                     accept_improve=cfg.test.icp_accept_improve,
+                    improve_margin=cfg.test.icp_improve_margin,
                 )
             except (ValueError, KeyError) as e:
                 # e.g. a faceless .ply: skip the ICP row instead of aborting
