@@ -240,8 +240,10 @@ _POOL_DS = None
 
 def _pool_init(args_dict, ann_file, cls_name, seed):
     """Spawned-worker initializer: build the dataset once per process."""
-    global _POOL_DS
+    global _POOL_DS, CROP
     args = argparse.Namespace(**args_dict)
+    if getattr(args, "crop", None):
+        CROP = int(args.crop)  # spawned child re-imports the module fresh
     cfg = pose_config(cls_name, args)
     _POOL_DS = TlessPoseTrainDataset(cfg, ann_file, crop_size=CROP,
                                      host_vertex=False, seed=seed)
@@ -266,7 +268,11 @@ def build_pose_pool(args, ann_file, cls_name, seed, workers=2):
     import multiprocessing as mp
 
     n = args.pose_pool
-    cache = os.path.join(args.root, f"pool_{cls_name}_{n}_s{seed}.npz")
+    cache = os.path.join(
+        args.root,
+        f"pool_{cls_name}_{n}_s{seed}"
+        + (f"_c{CROP}" if CROP != 128 else "") + ".npz",
+    )
     if os.path.exists(cache):
         z = np.load(cache)
         print(f"[pool {cls_name}] loaded cache {cache}", flush=True)
@@ -443,7 +449,8 @@ def train_pose_class(args, mesh, cls_name, pool, record):
 
 
 def _crop_model_path(root, cls_name):
-    return os.path.join(root, f"crop_{cls_name}.msgpack")
+    suffix = f"_c{CROP}" if CROP != 128 else ""
+    return os.path.join(root, f"crop_{cls_name}{suffix}.msgpack")
 
 
 def _save_crop_model(root, cls_name, variables):
@@ -488,10 +495,19 @@ def main():
                     help="scene resolution (default 256 320); 480 640 "
                          "composes K at f≈572 — the ADD-discriminative "
                          "camera (see module note)")
+    ap.add_argument("--crop", type=int, default=None,
+                    help="crop-stage resolution (default 128). At the "
+                         "480×640 camera objects span 110-210 px, so 128² "
+                         "crops DOWNSCALE them and crop-pixel decode error "
+                         "maps to ~1.6× image px; 256 keeps them at native "
+                         "resolution (r5 ceiling: 6.7 image px at crop 128)")
     args = ap.parse_args()
     if args.hw:
         global HW
         HW = tuple(args.hw)
+    if args.crop:
+        global CROP
+        CROP = int(args.crop)
     enable_compilation_cache()
     t_start = time.time()
 
