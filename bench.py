@@ -40,6 +40,11 @@ def main():
                         help="vote-stage hypothesis count override (the "
                              "cov_reuse serving config uses 1024 to "
                              "recover cmd5; ablation un_pnp_reuse_1024)")
+    parser.add_argument("--strided_fg", type=int, default=0,
+                        help="block-stratified foreground selection: sort "
+                             "per-N-block maxima instead of all H*W "
+                             "priorities (the selection stage is sort-"
+                             "bound; see ops/voting.select_foreground)")
     parser.add_argument("--approx_fg", action="store_true",
                         help="approx_max_k foreground selection (uniform "
                              "subset; accuracy-neutral per ablation_r03 "
@@ -70,6 +75,7 @@ def main():
     cfg = Config().with_overrides(
         {"voting.cov_pixels": 2048, "voting.cov_reuse": args.cov_reuse,
          "voting.approx_fg": args.approx_fg,
+         "voting.strided_fg": args.strided_fg,
          # the accuracy-validated cov_reuse serving config runs 20 adaptive
          # vote rounds (ablation un_pnp_reuse/un_pnp_serving_r4); benchmark
          # the same program so fps and accuracy describe one config

@@ -87,6 +87,12 @@ class VotingConfig:
     min_pixels: int = 5           # below this the vote is skipped (ref min_num)
     weighted_fg: bool = False     # seg-confidence-weighted pixel sampling
     #                               (Efraimidis-Spirakis keys; beyond-reference)
+    # block-stratified selection: sort per-`strided_fg`-block maxima
+    # instead of all H*W priorities (at most one pixel per block; spatially
+    # stratified, uniform within blocks). 0 = off. The serving lever for
+    # the selection stage, which is SORT-bound, not HBM-bound
+    # (profile_voting_r05: 28.8 ms of a 91.7 ms decode at batch 64).
+    strided_fg: int = 0
     approx_fg: bool = False       # approx_max_k pixel selection (TPU-fast;
     #                               still a uniform subset — see
     #                               ops/voting.select_foreground)

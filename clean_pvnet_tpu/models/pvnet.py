@@ -194,6 +194,7 @@ def decode_keypoints(
                 min_pixels=v.min_pixels,
                 confidence=v.confidence,
                 approx_fg=v.approx_fg,
+                strided_fg=v.strided_fg,
                 fg_weights=fw[0] if fw else None,
             )
         )(mask, vtx, keys, *fg_w)
@@ -220,6 +221,7 @@ def decode_keypoints(
             cov_pixels=v.cov_pixels,
             cov_reuse=v.cov_reuse,
             approx_fg=v.approx_fg,
+            strided_fg=v.strided_fg,
             fg_weights=fw[0] if fw else None,
         )
     )(mask, vtx, keys, *fg_w)

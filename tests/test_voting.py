@@ -90,6 +90,29 @@ class TestSelectForeground:
         _, _, valid = select_foreground(jnp.asarray(mask), jax.random.PRNGKey(1), 100)
         assert int(np.asarray(valid).sum()) == 100
 
+    def test_strided_selects_only_foreground_one_per_block(self, rng):
+        mask = (rng.rand(32, 32) > 0.8).astype(np.uint8)
+        coords, idx, valid = select_foreground(
+            jnp.asarray(mask), jax.random.PRNGKey(2), 64, stride_block=4
+        )
+        coords = np.asarray(coords)[np.asarray(valid)]
+        idx = np.asarray(idx)[np.asarray(valid)]
+        for x, y in coords:
+            assert mask[int(y), int(x)] == 1
+        # spatial stratification: at most one selected pixel per 4-block
+        blocks = idx // 4
+        assert len(blocks) == len(set(blocks.tolist()))
+        # valid count = number of 4-blocks containing foreground (≤ budget)
+        fg_blocks = (mask.reshape(-1).reshape(-1, 4).sum(-1) > 0).sum()
+        assert len(idx) == min(int(fg_blocks), 64)
+
+    def test_strided_full_mask_hits_budget(self, rng):
+        mask = np.ones((32, 32), np.uint8)
+        _, _, valid = select_foreground(
+            jnp.asarray(mask), jax.random.PRNGKey(3), 100, stride_block=4
+        )
+        assert int(np.asarray(valid).sum()) == 100
+
 
 class TestHypotheses:
     def test_matches_cuda_oracle(self, rng):

@@ -219,6 +219,18 @@ def main():
          {"test.icp": True, "test.icp_accept_improve": True,
           "test.icp_improve_margin": 0.7,
           "voting.num_rounds": 20}, True, "occlusion"),
+        # block-stratified foreground selection (sort-size lever for the
+        # serving decode's dominant stage; ops/voting.select_foreground
+        # stride_block) — validate the spatially-stratified sample is
+        # accuracy-neutral like approx_fg
+        ("fg_strided4", {"voting.strided_fg": 4}, False, "test"),
+        ("un_pnp_serving_strided",
+         {"voting.cov_reuse": True, "voting.num_rounds": 20,
+          "voting.strided_fg": 4, "voting.un_hypotheses": 1024}, True,
+         "test"),
+        ("occ_fg_strided4",
+         {"voting.strided_fg": 4, "voting.num_rounds": 20}, False,
+         "occlusion"),
     ]
     if args.only:
         keep = set(args.only.split(","))
