@@ -94,8 +94,14 @@ def main():
         from clean_pvnet_tpu.models.pvnet import PVNet
 
         b, h, w = min(args.batch, 16), 480, 640
-        detector = DLASeg(heads={"ct_hm": 30, "wh": 2}, head_conv=256)
-        pvnet = PVNet(ver_dim=18, seg_dim=2)
+        # serving dtype parity: the registered builders (models/centernet.py
+        # build_centernet, models/pvnet factory) run bf16 by default; the
+        # bench previously constructed DLASeg with its fp32 module default
+        # and measured an fp32 detector (r5 attribution:
+        # tools/profile_cascade_stages.py)
+        detector = DLASeg(heads={"ct_hm": 30, "wh": 2}, head_conv=256,
+                          dtype=jnp.bfloat16)
+        pvnet = PVNet(ver_dim=18, seg_dim=2, dtype=jnp.bfloat16)
         det_vars = detector.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
         pv_vars = pvnet.init(

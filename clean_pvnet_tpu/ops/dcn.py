@@ -92,7 +92,10 @@ def deform_conv2d(
     mask = mask[:, :ho, :wo]
 
     # packed neighbor table over a zero-padded (+1 left/top, +2 right/
-    # bottom) grid: row index r = y0+1 ∈ [0, h+2), col c = x0+1 ∈ [0, w+2)
+    # bottom) grid: row index r = y0+1 ∈ [0, h+2), col c = x0+1 ∈ [0, w+2).
+    # The table keeps x's dtype: with a bf16 feature map the gather moves
+    # HALF the bytes (the gather engine is the DCN bottleneck); coordinate
+    # and weight math below stays fp32, and rows upcast at the weighted sum.
     fp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
     tbl = jnp.concatenate(
         [fp[:, :-1, :-1], fp[:, :-1, 1:], fp[:, 1:, :-1], fp[:, 1:, 1:]], -1
@@ -127,7 +130,8 @@ def deform_conv2d(
                     * (valid * msk[..., t].reshape(-1))[:, None]
                 )  # [N, 4]
                 sampled = jnp.einsum(
-                    "nkc,nk->nc", rows.reshape(-1, 4, c), wgt
+                    "nkc,nk->nc",
+                    rows.reshape(-1, 4, c).astype(jnp.float32), wgt,
                 )
                 cols.append(sampled)
         return jnp.concatenate(cols, -1)  # [ho*wo, kh*kw*C]
@@ -314,9 +318,11 @@ class DCN(nn.Module):
             (k, k, x.shape[-1], self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        x32 = x.astype(jnp.float32)
+        # keep x in the module dtype: the bilinear gather moves half the
+        # bytes in bf16 and deform_conv2d upcasts rows at the weighted sum;
+        # offsets/mask stay fp32 (position math needs the mantissa)
         out = deform_conv2d(
-            x32,
+            x,
             offset.astype(jnp.float32),
             mask.astype(jnp.float32),
             weight,
