@@ -143,7 +143,7 @@ class TlessPoseTrainDataset:
                  crop_size: int = 128, min_visible: float = 0.4,
                  max_distractors: int = 2, host_vertex: bool = True,
                  symmetric: bool = False, scene_hw: tuple = (256, 320),
-                 scale_ratio: float = 1.8):
+                 scale_ratio: float = 1.8, resample_native: bool = False):
         import os
 
         from clean_pvnet_tpu.utils.ply import load_ply
@@ -199,6 +199,16 @@ class TlessPoseTrainDataset:
         # costs the whole two-stage accuracy (round-4 cascade diagnosis).
         self.scene_hw = tuple(scene_hw)
         self.scale_ratio = float(scale_ratio)
+        # Resampling parity with the test-time crop (round-5 cascade
+        # diagnosis, tools/diag_crop_field.py): DetectionPoseDataset crops
+        # are bilinear-warped SCENE pixels — at a 480×640 camera the crop
+        # decimates the object 1.5–3× — while the direct render here is
+        # pixel-crisp. A field trained on crisp renders decodes 0.8 crop px
+        # on its own distribution but ~4 crop px on resampled eval crops.
+        # resample_native renders the crop at the box's native scene-pixel
+        # size R, composes at R, then bilinear-resizes to crop_size —
+        # reproducing the eval warp's decimation statistics.
+        self.resample_native = bool(resample_native)
         sh, sw = self.scene_hw
         self.K_scene = np.array(
             [[572.4114 * sw / 640.0, 0, 325.2611 * sw / 640.0],
@@ -251,11 +261,10 @@ class TlessPoseTrainDataset:
         s = self.crop_size
         verts, faces, colors = self.meshes[self.cls]
 
-        def crop_K(pose):
-            """Jittered-detection-box crop intrinsics: project the full
-            object, jitter its box like a detector would (center ±8% of
-            the box, size ×[0.85, 1.25]), compose the test-time crop
-            transform into the scene intrinsics."""
+        def crop_box(pose):
+            """Jittered detection box: project the full object, jitter its
+            box like a detector would (center ±8% of the box, size
+            ×[0.85, 1.25])."""
             cam = verts @ pose[:, :3].T + pose[:, 3]
             pix = cam @ self.K_scene.T
             uv = pix[:, :2] / pix[:, 2:]
@@ -265,7 +274,12 @@ class TlessPoseTrainDataset:
             cy = (y1 + y2) / 2 + rng.uniform(-0.08, 0.08) * bh
             size = max(max(bw, bh) * rng.uniform(0.85, 1.25)
                        * self.scale_ratio, 8.0)
-            M = crop_transform((cx, cy), size, s)
+            return (cx, cy), size
+
+        def compose_K(center, size, res):
+            """Test-time crop transform composed into the scene intrinsics
+            for an output resolution `res`."""
+            M = crop_transform(center, size, res)
             A = np.array([[M[0, 0], 0, M[0, 2]],
                           [0, M[1, 1], M[1, 2]],
                           [0, 0, 1.0]], np.float64)
@@ -273,14 +287,19 @@ class TlessPoseTrainDataset:
 
         for _ in range(8):  # occlusion-rejection retries (ref :85-99)
             pose = self._random_pose(rng)
-            K = crop_K(pose)
-            color, _, m = render_mesh_np(verts, faces, K, pose, (s, s),
+            center, size = crop_box(pose)
+            # native-resample parity: compose at the box's scene-pixel
+            # resolution R, downsample to s at the end (see __init__ note)
+            R = (int(np.clip(round(size), s, 4 * s))
+                 if self.resample_native else s)
+            K = compose_K(center, size, R)
+            color, _, m = render_mesh_np(verts, faces, K, pose, (R, R),
                                          vert_colors=colors)
             full_area = int((m > 0).sum())
-            if full_area < 64:
+            if full_area < 64 * (R / s) ** 2:
                 continue
-            scene = sample_background(rng, (s, s)).astype(np.float32)
-            seg = np.zeros((s, s), np.int32)
+            scene = sample_background(rng, (R, R)).astype(np.float32)
+            seg = np.zeros((R, R), np.int32)
             paste_sprite(scene, seg, color, m, (0, 0), 1)
 
             n_dis = rng.randint(0, self.max_distractors + 1)
@@ -289,23 +308,34 @@ class TlessPoseTrainDataset:
                 dc = others[rng.randint(len(others))]
                 dv, df, dcol = self.meshes[dc]
                 dpose = self._random_pose(rng, z_range=(0.45, 0.8))
-                dimg, _, dm = render_mesh_np(dv, df, K, dpose, (s, s),
+                dimg, _, dm = render_mesh_np(dv, df, K, dpose, (R, R),
                                              vert_colors=dcol)
-                off = (rng.randint(-s // 2, s // 2),
-                       rng.randint(-s // 2, s // 2))
+                off = (rng.randint(-R // 2, R // 2),
+                       rng.randint(-R // 2, R // 2))
                 paste_sprite(scene, seg, dimg, dm, off, 2 + d)
             if visible_ratio(seg, 1, full_area) >= self.min_visible:
                 break
         else:
             # fall back to the unoccluded render
-            scene = sample_background(rng, (s, s)).astype(np.float32)
-            seg = np.zeros((s, s), np.int32)
+            scene = sample_background(rng, (R, R)).astype(np.float32)
+            seg = np.zeros((R, R), np.int32)
             paste_sprite(scene, seg, color, m, (0, 0), 1)
 
         img = (scene * 255.0).clip(0, 255).astype(np.uint8)
         img = photometric_train(img, rng)
         mask = (seg == 1).astype(np.int32)
+        if R != s:
+            from PIL import Image as PILImage
 
+            img = np.asarray(
+                PILImage.fromarray(img).resize((s, s), PILImage.BILINEAR)
+            )
+            mask = np.asarray(
+                PILImage.fromarray(mask.astype(np.uint8)).resize(
+                    (s, s), PILImage.NEAREST)
+            ).astype(np.int32)
+
+        K = compose_K(center, size, s)  # targets in s-crop coordinates
         kpt_3d = np.concatenate([self.fps_3d, [self.center_3d]], 0)
         cam = kpt_3d @ pose[:, :3].T + pose[:, 3]
         pix = cam @ K.T

@@ -240,13 +240,18 @@ _POOL_DS = None
 
 def _pool_init(args_dict, ann_file, cls_name, seed):
     """Spawned-worker initializer: build the dataset once per process."""
-    global _POOL_DS, CROP
+    global _POOL_DS, CROP, HW
     args = argparse.Namespace(**args_dict)
     if getattr(args, "crop", None):
         CROP = int(args.crop)  # spawned child re-imports the module fresh
+    if getattr(args, "hw", None):
+        HW = tuple(args.hw)
     cfg = pose_config(cls_name, args)
-    _POOL_DS = TlessPoseTrainDataset(cfg, ann_file, crop_size=CROP,
-                                     host_vertex=False, seed=seed)
+    _POOL_DS = TlessPoseTrainDataset(
+        cfg, ann_file, crop_size=CROP, host_vertex=False, seed=seed,
+        scene_hw=HW,  # the box/jitter statistics follow the SCENE camera
+        resample_native=getattr(args, "native_resample", False),
+    )
 
 
 def _pool_item(i):
@@ -271,7 +276,9 @@ def build_pose_pool(args, ann_file, cls_name, seed, workers=2):
     cache = os.path.join(
         args.root,
         f"pool_{cls_name}_{n}_s{seed}"
-        + (f"_c{CROP}" if CROP != 128 else "") + ".npz",
+        + (f"_c{CROP}" if CROP != 128 else "")
+        + ("_nr" if getattr(args, "native_resample", False) else "")
+        + (f"_hw{HW[0]}" if HW != (256, 320) else "") + ".npz",
     )
     if os.path.exists(cache):
         z = np.load(cache)
@@ -448,8 +455,11 @@ def train_pose_class(args, mesh, cls_name, pool, record):
     return pose_cfg, model, variables
 
 
+_MODEL_SUFFIX = [""]
+
+
 def _crop_model_path(root, cls_name):
-    suffix = f"_c{CROP}" if CROP != 128 else ""
+    suffix = (f"_c{CROP}" if CROP != 128 else "") + _MODEL_SUFFIX[0]
     return os.path.join(root, f"crop_{cls_name}{suffix}.msgpack")
 
 
@@ -495,6 +505,11 @@ def main():
                     help="scene resolution (default 256 320); 480 640 "
                          "composes K at f≈572 — the ADD-discriminative "
                          "camera (see module note)")
+    ap.add_argument("--native_resample", action="store_true",
+                    help="compose training crops at the box's native "
+                         "scene-pixel resolution and downsample to the "
+                         "crop size — resampling parity with the "
+                         "test-time warp (round-5 crop-field diagnosis)")
     ap.add_argument("--crop", type=int, default=None,
                     help="crop-stage resolution (default 128). At the "
                          "480×640 camera objects span 110-210 px, so 128² "
@@ -508,6 +523,8 @@ def main():
     if args.crop:
         global CROP
         CROP = int(args.crop)
+    if args.native_resample:
+        _MODEL_SUFFIX[0] = "_nr"
     enable_compilation_cache()
     t_start = time.time()
 
