@@ -154,7 +154,8 @@ def _background(rng, h, w):
         ],
         -1,
     )
-    noise = rng.rand(h // 4, w // 4, 3)
+    # ceil-divide so non-multiple-of-4 sizes still tile the full frame
+    noise = rng.rand((h + 3) // 4, (w + 3) // 4, 3)
     noise = np.kron(noise, np.ones((4, 4, 1)))[:h, :w]
     return np.clip(0.7 * base + 0.3 * noise, 0, 1)
 
